@@ -1,0 +1,200 @@
+"""Strategy registry — the kernel-strategy axis of the framework.
+
+The reference enumerates (backend x format x work-assignment)
+strategies via function-pointer dispatch (``compute_benchmark_csr``,
+csr.c:182-199; kernel lists in main.c:259-263, 310-315). Here each
+strategy is a named entry with a ``prepare`` step (host preprocessing →
+device arrays) and a jitted ``fn(x) -> y``, so benchmarks measure only
+the kernel, like the reference's cudaEvent timing of the bare launch
+(cuda_csr.cu:224-226).
+
+Strategy-name mapping to the reference (SURVEY.md section 2 table):
+
+=====================  =====================================================
+ name                   reference analog
+=====================  =====================================================
+ oracle-csr             serial CSR golden (csr.c:201-216)
+ oracle-ell             serial HLL golden (hll.c:127-150)
+ xla-csr-segsum         OMP guided / CUDA k0 thread-per-row: flat nnz
+                        stream, dynamic balance (csr.c:286-293,
+                        cuda_csr.cu:19-31)
+ xla-ell-rm             CUDA HLL k0 thread-per-row row-major
+                        (cuda_hll.cu:19-43)
+ xla-ell-cm             CUDA HLL k1 thread-per-row col-major, the
+                        coalesced/lane-contiguous layout
+                        (cuda_hll.cu:49-72)
+ xla-dense              tiny-matrix regime (launch-bound, SURVEY 6)
+ pallas-bcsr            CUDA CSR k3 block-per-row: cooperative dense
+                        row-tiles, here 8x128 MXU tiles
+                        (cuda_csr.cu:96-140)
+ pallas-pell            CUDA HLL k2 warp-per-block + k4 texture-x:
+                        panel-local ELL slots, x resident in VMEM
+                        (cuda_hll.cu:80-104, cuda_csr.cu:145-178)
+ pallas-sell            OMP HLL block-per-thread: SELL slices over a
+                        Pallas grid (hll.c:178-211)
+=====================  =====================================================
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+
+from spmv_scpa_tpu.formats.csr import CSR
+
+
+@dataclass
+class Prepared:
+    """A strategy instantiated for one matrix: device-ready closure plus
+    bookkeeping for roofline/CSV reporting."""
+
+    strategy: str
+    matrix: str
+    fn: Callable[[Any], Any]          # jitted device fn OR host fn
+    on_device: bool
+    nnz: int
+    # Bytes the kernel must stream from HBM per call (matrix data only,
+    # excluding x/y), for roofline accounting. 0 if unknown.
+    hbm_bytes: int = 0
+    meta: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class StrategySpec:
+    name: str
+    fmt: str                          # CSR | HLL | BCSR | PELL | DENSE
+    backend: str                      # host | xla | pallas
+    cite: str                         # reference file:line analog
+    prepare: Callable[..., Prepared] = None
+    spmm: bool = False                # supports multi-column x
+
+
+_REGISTRY: dict[str, StrategySpec] = {}
+
+
+def register(spec: StrategySpec) -> StrategySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate strategy {spec.name!r}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_strategy(name: str) -> StrategySpec:
+    _ensure_builtin()
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown strategy {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def list_strategies(backend: str | None = None,
+                    fmt: str | None = None) -> list[str]:
+    _ensure_builtin()
+    return sorted(
+        n for n, s in _REGISTRY.items()
+        if (backend is None or s.backend == backend)
+        and (fmt is None or s.fmt == fmt)
+    )
+
+
+def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
+    """One-shot convenience: prepare + run a strategy on (A, x)."""
+    if strategy == "auto":
+        strategy = pick_auto(A)
+    prep = get_strategy(strategy).prepare(A, **params)
+    y = prep.fn(np.asarray(x))
+    return np.asarray(y, dtype=np.float64)
+
+
+def pick_auto(A: CSR) -> str:
+    """Heuristic strategy choice: Pallas panel-ELL on TPU for matrices
+    whose x fits VMEM, XLA segment-sum otherwise."""
+    from spmv_scpa_tpu.utils.platform import is_tpu
+    if not is_tpu():
+        return "xla-csr-segsum"
+    if A.n <= 1 << 20 and A.m <= 1 << 20:
+        return "pallas-pell"
+    return "xla-csr-segsum"
+
+
+# ---------------------------------------------------------------------------
+# Built-in strategy registration (lazy to avoid import cycles)
+# ---------------------------------------------------------------------------
+
+_BUILTIN_DONE = False
+
+
+def _ensure_builtin():
+    global _BUILTIN_DONE
+    if _BUILTIN_DONE:
+        return
+    _BUILTIN_DONE = True
+
+    import jax.numpy as jnp
+
+    from spmv_scpa_tpu.formats.ell import csr_to_ell
+    from spmv_scpa_tpu.ops import xla as xla_ops
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+
+    def _prep_oracle_csr(A: CSR, **_):
+        return Prepared("oracle-csr", A.name, lambda x: spmv_oracle(A, x),
+                        on_device=False, nnz=A.nnz,
+                        hbm_bytes=A.nnz * 12 + (A.m + 1) * 4)
+
+    def _prep_oracle_ell(A: CSR, slice_h: int = 32, **_):
+        E = csr_to_ell(A, slice_h=slice_h, col_major=False, pad_mode="neg1")
+        return Prepared("oracle-ell", A.name,
+                        lambda x: xla_ops.serial_ell(E, x),
+                        on_device=False, nnz=A.nnz,
+                        hbm_bytes=E.padded_nnz * 12,
+                        meta={"num_blocks": E.num_slices})
+
+    def _prep_xla_segsum(A: CSR, dtype=jnp.float32, **_):
+        return Prepared("xla-csr-segsum", A.name,
+                        xla_ops.make_csr_segsum(A, dtype),
+                        on_device=True, nnz=A.nnz,
+                        hbm_bytes=A.nnz * 12)  # val4 + ja4 + rowid4
+
+    def _prep_xla_ell(A: CSR, col_major: bool, slice_h: int = 32,
+                      dtype=jnp.float32, **_):
+        E = csr_to_ell(A, slice_h=slice_h, col_major=col_major,
+                       pad_mode="last")
+        U = E.to_uniform()
+        name = "xla-ell-cm" if col_major else "xla-ell-rm"
+        return Prepared(name, A.name, xla_ops.make_ell_uniform(U, dtype),
+                        on_device=True, nnz=A.nnz,
+                        hbm_bytes=U.ja.size * 8,
+                        meta={"num_blocks": E.num_slices,
+                              "fill": A.nnz / max(U.ja.size, 1)})
+
+    def _prep_xla_dense(A: CSR, dtype=jnp.float32, **_):
+        return Prepared("xla-dense", A.name, xla_ops.make_dense(A, dtype),
+                        on_device=True, nnz=A.nnz, hbm_bytes=A.m * A.n * 4)
+
+    register(StrategySpec("oracle-csr", "CSR", "host",
+                          "csr_spmv_serial csr.c:201-216",
+                          prepare=_prep_oracle_csr))
+    register(StrategySpec("oracle-ell", "HLL", "host",
+                          "hll_spmv_serial hll.c:127-150",
+                          prepare=_prep_oracle_ell))
+    register(StrategySpec("xla-csr-segsum", "CSR", "xla",
+                          "csr.c:286-293 + cuda_csr.cu:19-31",
+                          prepare=_prep_xla_segsum, spmm=True))
+    register(StrategySpec("xla-ell-rm", "HLL", "xla",
+                          "cuda_hll.cu:19-43 (row-major)",
+                          prepare=lambda A, **kw: _prep_xla_ell(A, False, **kw)))
+    register(StrategySpec("xla-ell-cm", "HLL", "xla",
+                          "cuda_hll.cu:49-72 (col-major)",
+                          prepare=lambda A, **kw: _prep_xla_ell(A, True, **kw)))
+    register(StrategySpec("xla-dense", "DENSE", "xla",
+                          "tiny-matrix regime (SURVEY.md section 6)",
+                          prepare=_prep_xla_dense))
+
+    # Pallas strategies register themselves on import; tolerate absence
+    # (e.g. stripped builds) but not real import errors.
+    from spmv_scpa_tpu.ops import pallas_kernels  # noqa: F401
+    pallas_kernels.register_all(register, StrategySpec, Prepared)

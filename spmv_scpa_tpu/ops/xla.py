@@ -1,0 +1,152 @@
+"""XLA-native SpMV/SpMM paths (no Pallas): gather + segment reduce.
+
+These are the always-correct baselines of the strategy axis, the TPU
+analog of the reference's straightforward kernels:
+
+* ``csr_segsum`` — per-nonzero gather ``x[JA]`` then row segment-sum;
+  the analog of thread-per-row CUDA k0 (cuda_csr.cu:19-31) / the OpenMP
+  guided loop (csr.c:286-293): XLA parallelizes the flat nnz stream and
+  dynamically balances it, like ``schedule(guided)``.
+* ``ell_uniform`` — dense gather-multiply-reduce over lane-padded ELL
+  arrays, row-major or column-major; the analog of the HLL CUDA kernels
+  (cuda_hll.cu:19-72). Padded slots hold in-bounds dummy columns with
+  0.0 values (cuda_hll.cu:176-195), so no masking is needed.
+
+All functions build **jitted closures** over device-resident matrix
+arrays: benchmark timing then measures only the kernel, mirroring the
+reference's kernel-only cudaEvent timing (cuda_csr.cu:224-226).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmv_scpa_tpu.formats.csr import CSR
+from spmv_scpa_tpu.formats.ell import UniformEll
+
+
+def _put(a, dtype=None):
+    return jax.device_put(jnp.asarray(a, dtype=dtype))
+
+
+# ---------------------------------------------------------------------------
+# CSR segment-sum
+# ---------------------------------------------------------------------------
+
+def make_csr_segsum(A: CSR, dtype=jnp.float32):
+    """Return a jitted ``fn(x) -> y`` computing ``A @ x`` via
+    gather + segment_sum. Segment ids are sorted (CSR row order)."""
+    ja = _put(A.ja, jnp.int32)
+    as_ = _put(A.as_, dtype)
+    rows = _put(A.row_ids(), jnp.int32)
+    m = A.m
+
+    @jax.jit
+    def fn(x):
+        prod = as_ * jnp.take(x.astype(dtype), ja)
+        return jax.ops.segment_sum(prod, rows, num_segments=m,
+                                   indices_are_sorted=True)
+
+    return fn
+
+
+def make_csr_segsum_spmm(A: CSR, dtype=jnp.float32):
+    """SpMM variant: ``fn(X[n, c]) -> Y[m, c]``."""
+    ja = _put(A.ja, jnp.int32)
+    as_ = _put(A.as_, dtype)
+    rows = _put(A.row_ids(), jnp.int32)
+    m = A.m
+
+    @jax.jit
+    def fn(X):
+        prod = as_[:, None] * jnp.take(X.astype(dtype), ja, axis=0)
+        return jax.ops.segment_sum(prod, rows, num_segments=m,
+                                   indices_are_sorted=True)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Uniform ELL (dense gather)
+# ---------------------------------------------------------------------------
+
+def make_ell_uniform(E: UniformEll, dtype=jnp.float32):
+    """Return a jitted ``fn(x) -> y`` over the statically-padded ELL
+    arrays. Works for both layouts; the reduction runs over the slot
+    axis (axis 2 row-major, axis 1 col-major — hll.c:84-88)."""
+    ja = _put(E.ja, jnp.int32)
+    as_ = _put(E.as_, dtype)
+    m, slice_h, col_major = E.m, E.slice_h, E.col_major
+    slot_axis = 1 if col_major else 2
+
+    @jax.jit
+    def fn(x):
+        xv = jnp.take(x.astype(dtype), ja)          # (ns, ·, ·)
+        y = jnp.sum(as_ * xv, axis=slot_axis)        # (ns, slice_h)
+        return y.reshape(-1)[:m]
+
+    return fn
+
+
+def make_ell_uniform_spmm(E: UniformEll, dtype=jnp.float32):
+    ja = _put(E.ja, jnp.int32)
+    as_ = _put(E.as_, dtype)
+    m, slot_axis = E.m, (1 if E.col_major else 2)
+
+    @jax.jit
+    def fn(X):
+        xv = jnp.take(X.astype(dtype), ja, axis=0)   # (ns, ·, ·, c)
+        y = jnp.sum(as_[..., None] * xv, axis=slot_axis)
+        return y.reshape(-1, X.shape[1])[:m]
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Dense fallback (tiny matrices / debugging)
+# ---------------------------------------------------------------------------
+
+def make_dense(A: CSR, dtype=jnp.float32):
+    """Materialize A densely and matmul — only sensible for tiny
+    matrices (the launch-bound regime where the reference's GPU kernels
+    drop to ~0-2 GFLOPS, SURVEY.md section 6)."""
+    Ad = _put(A.to_dense(), dtype)
+
+    @jax.jit
+    def fn(x):
+        return Ad @ x.astype(dtype)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Host "serial" kernels (golden-adjacent, used for serial.csv parity)
+# ---------------------------------------------------------------------------
+
+def serial_csr(A: CSR, x: np.ndarray) -> np.ndarray:
+    """Host fp64 CSR SpMV — identical math to the oracle; exists so the
+    serial benchmark path mirrors bench_csr_serial (csr.c:342-353)."""
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    return spmv_oracle(A, x)
+
+
+def serial_ell(E, x: np.ndarray) -> np.ndarray:
+    """Host fp64 HLL-analog serial SpMV (reference: hll_spmv_serial,
+    hll.c:127-150): per-slice padded gather-multiply in NumPy."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.zeros(E.m, dtype=np.float64)
+    for s in range(E.num_slices):
+        ja, as_ = E.block(s)
+        if E.col_major:
+            ja, as_ = ja.T, as_.T
+        safe = np.maximum(ja, 0)
+        vals = as_ * x[safe]
+        if E.pad_mode == "neg1":
+            vals = np.where(ja >= 0, vals, 0.0)
+        r0 = s * E.slice_h
+        y[r0:r0 + ja.shape[0]] = vals.sum(axis=1)
+    return y

@@ -1,0 +1,103 @@
+"""Synthetic matrix generators for tests and benchmarks.
+
+The reference benchmarks 30 SuiteSparse matrices fetched over the
+network (scripts/download-matrices.py:7-38). This environment has no
+egress, so we synthesize matrices with the same structural archetypes
+the suite spans (SURVEY.md section 6):
+
+* ``banded``   — FEM-like: clustered diagonal band, regular row lengths
+                 (cant, ML_Laplace, af_1_k101, ...);
+* ``random``   — uniform scatter (mac_econ-like);
+* ``powerlaw`` — Zipf column popularity + skewed row lengths
+                 (webbase-1M, wiki-Talk, dc1);
+* ``diag``     — trivial diagonal (degenerate edge case);
+* plus tiny handwritten matrices in the tests.
+
+All generators are deterministic (seeded) like the reference's unseeded
+``rand()`` x (vector.c:36-41).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from spmv_scpa_tpu.formats.csr import CSR
+
+
+def banded_csr(m: int, n: int | None = None, row_nnz: int = 32,
+               bandwidth: int = 256, seed: int = 0,
+               name: str = "synth_banded") -> CSR:
+    """Clustered band: each row gets ``row_nnz`` columns near the
+    diagonal within ``bandwidth`` — FEM archetype."""
+    n = n or m
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(m), row_nnz)
+    center = (np.arange(m, dtype=np.float64) * n / m).astype(np.int64)
+    off = rng.integers(-bandwidth // 2, bandwidth // 2 + 1,
+                       size=rows.shape[0])
+    cols = np.clip(np.repeat(center, row_nnz) + off, 0, n - 1)
+    vals = rng.standard_normal(rows.shape[0])
+    # dedup (row, col) to keep nnz counts honest
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    return CSR.from_coo(name, m, n, rows[first], cols[first], vals[first])
+
+
+def random_csr(m: int, n: int | None = None, density: float = 0.01,
+               seed: int = 0, name: str = "synth_random") -> CSR:
+    n = n or m
+    rng = np.random.default_rng(seed)
+    nnz = max(1, int(m * n * density))
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    vals = rng.standard_normal(first.shape[0])
+    return CSR.from_coo(name, m, n, rows[first], cols[first], vals)
+
+
+def powerlaw_csr(m: int, n: int | None = None, avg_nnz: int = 8,
+                 alpha: float = 1.5, seed: int = 0,
+                 name: str = "synth_powerlaw") -> CSR:
+    """Zipf-popular columns and skewed row lengths — the webbase /
+    wiki-Talk archetype that stresses load balancing (SURVEY.md 7,
+    hard part #3)."""
+    n = n or m
+    rng = np.random.default_rng(seed)
+    # Skewed row lengths (some rows huge)
+    lens = np.minimum(rng.zipf(alpha, size=m), n // 2)
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(m), lens)
+    # Zipf column popularity
+    cols = (rng.zipf(alpha, size=total) - 1) % n
+    scatter = rng.integers(0, n, total)
+    use_scatter = rng.random(total) < 0.3
+    cols = np.where(use_scatter, scatter, cols)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    vals = rng.standard_normal(first.shape[0])
+    return CSR.from_coo(name, m, n, rows[first], cols[first], vals)
+
+
+def diag_csr(m: int, name: str = "synth_diag") -> CSR:
+    i = np.arange(m)
+    return CSR.from_coo(name, m, m, i, i, 1.0 + i.astype(np.float64))
+
+
+def tiny_fixture_csr() -> CSR:
+    """4x5 handwritten matrix with an empty row and a duplicate-free
+    irregular pattern — the cage4-style smallest unit test case."""
+    dense = np.array([
+        [1.0, 0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 3.0, 0.0, 0.0, 4.5],
+        [5.0, 0.0, 0.0, -1.0, 0.0],
+    ])
+    return CSR.from_dense("tiny", dense)
+
+
+ARCHETYPES = {
+    "banded": banded_csr,
+    "random": random_csr,
+    "powerlaw": powerlaw_csr,
+}

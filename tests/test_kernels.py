@@ -1,0 +1,88 @@
+"""Differential kernel tests: every strategy vs the fp64 golden oracle
+on every archetype matrix — the reference's `-d` validation flow
+(main.c:140-146, utils.c:39-60) promoted to a proper test suite."""
+
+import numpy as np
+import pytest
+
+from spmv_scpa_tpu.ops.oracle import spmv_oracle, spmm_oracle
+from spmv_scpa_tpu.ops.registry import get_strategy, list_strategies
+from spmv_scpa_tpu.utils.validation import validate_result
+from spmv_scpa_tpu.utils.vector import make_x
+
+
+ALL_STRATEGIES = sorted(set(list_strategies()))
+
+
+@pytest.mark.parametrize("strategy", ALL_STRATEGIES)
+def test_strategy_matches_oracle(matrices, strategy):
+    spec = get_strategy(strategy)
+    for A in matrices:
+        x = make_x(A.n)
+        expected = spmv_oracle(A, x)
+        prep = spec.prepare(A)
+        got = np.asarray(prep.fn(x), dtype=np.float64)
+        validate_result(expected, got, what=f"{strategy} on {A.name}")
+
+
+@pytest.mark.parametrize("strategy", ["pallas-pell", "pallas-bcsr"])
+def test_pallas_chunk_sweep(strategy):
+    """chunk (tiles per grid step) is the warps_per_block-style tuning
+    axis (main.c:265-269) — all settings must agree with the oracle."""
+    from spmv_scpa_tpu import testing as synth
+    A = synth.banded_csr(200, row_nnz=11, bandwidth=48, seed=5)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    for chunk in (1, 4, 16):
+        prep = get_strategy(strategy).prepare(A, chunk=chunk)
+        validate_result(expected, np.asarray(prep.fn(x)),
+                        what=f"{strategy} chunk={chunk}")
+
+
+def test_empty_rows_and_cols():
+    from spmv_scpa_tpu.formats.csr import CSR
+    dense = np.zeros((10, 7))
+    dense[2, 3] = 4.0
+    dense[9, 0] = -1.0
+    A = CSR.from_dense("sparse10", dense)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    for s in ALL_STRATEGIES:
+        got = np.asarray(get_strategy(s).prepare(A).fn(x))
+        validate_result(expected, got, what=s)
+
+
+def test_spmm_oracle_matches_dense():
+    from spmv_scpa_tpu import testing as synth
+    A = synth.random_csr(50, 60, density=0.05, seed=8)
+    X = make_x(A.n, cols=8)
+    np.testing.assert_allclose(spmm_oracle(A, X), A.to_dense() @ X,
+                               rtol=1e-12)
+
+
+def test_spmm_segsum():
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops import xla as xla_ops
+    A = synth.banded_csr(100, row_nnz=6, bandwidth=30, seed=2)
+    X = make_x(A.n, cols=8)
+    fn = xla_ops.make_csr_segsum_spmm(A)
+    validate_result(spmm_oracle(A, X), np.asarray(fn(X)), what="spmm")
+
+
+def test_auto_strategy():
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops.registry import spmv
+    A = synth.banded_csr(64, row_nnz=4, bandwidth=12, seed=3)
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), spmv(A, x), what="auto")
+
+
+def test_validation_rejects_garbage():
+    from spmv_scpa_tpu.errors import ValidationError
+    expected = np.full(1000, 100.0)
+    with pytest.raises(ValidationError):
+        validate_result(expected, expected + 1.0)
+    with pytest.raises(ValidationError):
+        validate_result(expected, expected[:-1])
+    # within reference absolute epsilon (utils.c:53) passes
+    validate_result(expected, expected + 1e-4)
