@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline benchmark for the driver: SpMV GFLOP/s on the flagship
+(ML_Laplace-scale) matrix, best strategy, real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the reference's best single-matrix CUDA result, ~62.5
+GFLOP/s fp64 on ML_Laplace (BASELINE.md; read off
+res/plots/cuda/all/spmv/cuda_best_csr_hll.png).
+
+The SuiteSparse files cannot be downloaded here (zero egress), so the
+flagship is the ML_Laplace structural stand-in from
+spmv_scpa_tpu/testing.py: 377k rows, ~26M nnz, clustered band.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_BEST_GFLOPS = 62.5
+
+
+def main() -> int:
+    import numpy as np
+
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.bench.timing import time_prepared
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    from spmv_scpa_tpu.ops.registry import get_strategy
+    from spmv_scpa_tpu.utils.validation import validate_result
+    from spmv_scpa_tpu.utils.vector import make_x
+
+    A = synth.banded_csr(377_000, row_nnz=72, bandwidth=500, runs=6,
+                         seed=3, name="ml_laplace_like")
+    x = make_x(A.n)
+    gold = spmv_oracle(A, x)
+
+    candidates = ["pallas-pell", "pallas-bcsr", "xla-csr-segsum"]
+    best = None
+    for name in candidates:
+        try:
+            prep = get_strategy(name).prepare(A)
+            r = time_prepared(prep, x)
+            validate_result(gold, r.data, what=name)
+        except Exception as e:
+            print(f"# {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        print(f"# {name}: {r.duration_ms:.4f} ms  {r.gflops:.2f} GFLOP/s",
+              file=sys.stderr)
+        if best is None or r.gflops > best[1]:
+            best = (name, r.gflops, r.duration_ms)
+
+    if best is None:
+        print(json.dumps({"metric": "spmv_gflops_ml_laplace_like",
+                          "value": 0.0, "unit": "GFLOP/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    name, gflops, ms = best
+    print(json.dumps({
+        "metric": "spmv_gflops_ml_laplace_like",
+        "value": round(gflops, 3),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(gflops / REFERENCE_BEST_GFLOPS, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Batch benchmark driver — the scripts/results.py analog
+(reference: scripts/results.py:5-40).
+
+Iterates matrices (``*.mtx`` files in a directory, and/or the built-in
+synthetic suite for network-less environments) and runs the benchmark
+CLI for each, ``-i`` times; CSV rows accumulate across iterations in
+one results dir (append-mode logger), medians are taken by plots.py.
+
+Unlike the reference (one subprocess per run, results.py:23-26) the
+default is in-process execution to amortize JAX init/compile; pass
+``--subprocess`` for the reference's isolation semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The synthetic stand-ins for the reference's 30-matrix SuiteSparse
+# suite (download-matrices.py:7-38) — same structural archetypes,
+# usable with zero network egress.
+SYNTH_SUITE = [
+    "synth:banded:m=4000,row_nnz=9,bandwidth=48,runs=3,seed=1",       # olm1000-ish
+    "synth:banded:m=62000,row_nnz=64,bandwidth=300,runs=8,seed=2",    # cant-ish
+    "synth:banded:m=377000,row_nnz=72,bandwidth=500,runs=6,seed=3",   # ML_Laplace-ish
+    "synth:random:m=30000,n=30000,density=0.0005,seed=4",             # mac_econ-ish
+    "synth:powerlaw:m=100000,n=100000,avg_nnz=8,seed=5",              # webbase-ish
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-d", "--matrices-dir", default=None,
+                    help="directory of .mtx files")
+    ap.add_argument("--synth-suite", action="store_true",
+                    help="run the built-in synthetic archetype suite")
+    ap.add_argument("-o", "--out", required=True, help="results dir")
+    ap.add_argument("-i", "--iterations", type=int, default=3)
+    ap.add_argument("--debug", action="store_true",
+                    help="validate against golden each run")
+    ap.add_argument("--bench", default=None, help="strategy filter")
+    ap.add_argument("--subprocess", action="store_true",
+                    help="isolate each run in a subprocess "
+                         "(reference semantics)")
+    args = ap.parse_args()
+
+    specs: list[str] = []
+    if args.matrices_dir:
+        specs += sorted(glob.glob(os.path.join(args.matrices_dir, "*.mtx")))
+    if args.synth_suite or not specs:
+        specs += SYNTH_SUITE
+
+    failures = 0
+    for spec in specs:
+        for it in range(args.iterations):
+            print(f"=== {spec} (iter {it + 1}/{args.iterations}) ===",
+                  flush=True)
+            argv = ["-m", spec, "-o", args.out]
+            if args.debug:
+                argv.append("-d")
+            if args.bench:
+                argv += ["-b", args.bench]
+            if args.subprocess:
+                rc = subprocess.run(
+                    [sys.executable, "-m", "spmv_scpa_tpu.cli", *argv],
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__)))).returncode
+            else:
+                from spmv_scpa_tpu.cli import main as cli_main
+                rc = cli_main(argv)
+            if rc != 0:
+                failures += 1
+                print(f"!!! run failed rc={rc}: {spec}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

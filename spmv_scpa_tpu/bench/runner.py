@@ -1,0 +1,153 @@
+"""Benchmark orchestration — the ``main.c`` analog.
+
+Mirrors the reference's fixed benchmark order (main.c:361-379):
+serial CSR (captured as golden in debug mode, main.c:140-146) →
+serial HLL → host-parallel strategies (the OpenMP analog) → device
+strategies swept over the chunk tuning axis (the warps_per_block sweep,
+main.c:265-269). Each result is validated against the golden result
+when ``debug`` is set (utils.c:39-60; failures abort, main.c:161-168)
+and appended to the CSV logs (logger.c schemas).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from spmv_scpa_tpu.bench.logger import CsvLogger
+from spmv_scpa_tpu.bench.timing import (BenchResult, time_host_fn,
+                                        time_prepared)
+from spmv_scpa_tpu.errors import ValidationError
+from spmv_scpa_tpu.formats.csr import CSR
+from spmv_scpa_tpu.ops.registry import get_strategy, list_strategies
+from spmv_scpa_tpu.utils.validation import validate_result
+from spmv_scpa_tpu.utils.vector import DEFAULT_SEED, make_x
+
+log = logging.getLogger("spmv_scpa_tpu.bench")
+
+# Device-strategy tuning sweep: tiles per Pallas grid step — the
+# analog of the reference's warps_per_block in {2,4,8} (main.c:265-269).
+DEFAULT_CHUNKS = (8, 16, 32)
+
+
+@dataclass
+class RunConfig:
+    out_dir: str
+    debug: bool = False
+    strategies: list[str] | None = None   # None = all registered device
+    chunks: tuple = DEFAULT_CHUNKS
+    seed: int = DEFAULT_SEED
+    host_parallel: bool = False           # also run XLA-on-CPU (omp rows)
+    skip_serial_hll: bool = False
+
+
+@dataclass
+class RowResult:
+    strategy: str
+    fmt: str
+    chunk: int | None
+    bench: BenchResult
+    rel_err: float | None = None
+    meta: dict = field(default_factory=dict)
+
+
+def _fmt_blocks(prep):
+    nb = prep.meta.get("num_blocks")
+    return None if nb is None else int(nb)
+
+
+def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    results: list[RowResult] = []
+    x = make_x(A.n, seed=cfg.seed)
+
+    with CsvLogger(cfg.out_dir) as logger:
+        # --- serial golden (main.c:126-146) ---
+        prep = get_strategy("oracle-csr").prepare(A)
+        r = time_host_fn(prep.fn, x, nnz=A.nnz)
+        golden = r.data
+        logger.log_serial(matrix=A.name, fmt="CSR", rows=A.m, cols=A.n,
+                          nnz=A.nnz, num_blocks=None,
+                          duration_ms=r.duration_ms, gflops=r.gflops)
+        results.append(RowResult("oracle-csr", "CSR", None, r, 0.0))
+        log.info("serial CSR: %.3f ms (%.3f GFLOPS)", r.duration_ms, r.gflops)
+
+        # --- serial HLL (main.c:150-171) ---
+        if not cfg.skip_serial_hll:
+            prep = get_strategy("oracle-ell").prepare(A)
+            r = time_host_fn(prep.fn, x, nnz=A.nnz)
+            rel = _check(cfg, golden, r.data, "oracle-ell")
+            logger.log_serial(matrix=A.name, fmt="HLL", rows=A.m, cols=A.n,
+                              nnz=A.nnz, num_blocks=_fmt_blocks(prep),
+                              duration_ms=r.duration_ms, gflops=r.gflops)
+            results.append(RowResult("oracle-ell", "HLL", None, r, rel))
+
+        # --- host-parallel rows (OpenMP analog: XLA auto-threaded on
+        # CPU; reference sweeps thread counts, main.c:177-180 — XLA
+        # manages its own pool, so one row at the pool size) ---
+        if cfg.host_parallel:
+            _run_host_parallel(A, x, golden, cfg, logger, results)
+
+        # --- device strategies (CUDA analog, main.c:255-359) ---
+        names = cfg.strategies or list_strategies(backend="xla") + \
+            list_strategies(backend="pallas")
+        for name in names:
+            spec = get_strategy(name)
+            if spec.backend == "host":
+                continue
+            chunks = cfg.chunks if spec.backend == "pallas" else (0,)
+            for chunk in chunks:
+                try:
+                    kw = {"chunk": chunk} if chunk else {}
+                    prep = spec.prepare(A, **kw)
+                    r = time_prepared(prep, x)
+                except Exception as e:  # e.g. VMEM budget exceeded
+                    log.warning("%s (chunk=%s) skipped: %s", name, chunk, e)
+                    continue
+                rel = _check(cfg, golden, r.data, f"{name} chunk={chunk}")
+                logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
+                                  chunk=chunk, rows=A.m, cols=A.n,
+                                  nnz=A.nnz, num_blocks=_fmt_blocks(prep),
+                                  duration_ms=r.duration_ms,
+                                  gflops=r.gflops)
+                results.append(RowResult(name, spec.fmt, chunk or None, r,
+                                         rel, dict(prep.meta)))
+                log.info("%-16s chunk=%-3s %10.4f ms %8.2f GFLOPS",
+                         name, chunk or "-", r.duration_ms, r.gflops)
+    return results
+
+
+def _run_host_parallel(A, x, golden, cfg, logger, results):
+    """XLA-on-CPU rows → omp.csv. The reference's OpenMP benchmarks
+    (csr.c:278-339, hll.c:178-211) map to XLA's CPU backend, which
+    auto-parallelizes over its thread pool (no per-count sweep —
+    num_threads records the pool size)."""
+    import jax
+
+    nthreads = os.cpu_count() or 1
+    cpu = jax.devices("cpu")[0]
+    for name, fmt, bench_name in (
+            ("xla-csr-segsum", "CSR", "xla_guided"),
+            ("xla-ell-cm", "HLL", "xla_ell")):
+        try:
+            with jax.default_device(cpu):
+                prep = get_strategy(name).prepare(A)
+                r = time_prepared(prep, x)
+        except Exception as e:
+            log.warning("host-parallel %s skipped: %s", name, e)
+            continue
+        rel = _check(cfg, golden, r.data, f"host {name}")
+        logger.log_omp(matrix=A.name, fmt=fmt, bench=bench_name,
+                       rows=A.m, cols=A.n, nnz=A.nnz,
+                       num_blocks=_fmt_blocks(prep), num_threads=nthreads,
+                       duration_ms=r.duration_ms, gflops=r.gflops)
+        results.append(RowResult(name + "@cpu", fmt, None, r, rel))
+
+
+def _check(cfg, golden, got, what) -> float | None:
+    if not cfg.debug:
+        return None
+    return validate_result(golden, got, what=what)

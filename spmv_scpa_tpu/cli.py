@@ -1,0 +1,133 @@
+"""Command-line interface — the reference binary's flag surface.
+
+Reference flags (main.c:35-64): ``-m/--matrix`` (path, required),
+``-o/--out`` (results dir, required), ``-d/--debug`` (validate against
+the serial golden), ``-b/--bench`` (parsed but dead in the reference —
+here it actually filters strategies), ``-h/--help``.
+
+Extensions (documented differences):
+
+* ``-m synth:<archetype>:k=v,...`` generates a synthetic matrix
+  (no-network environments; archetypes in spmv_scpa_tpu/testing.py).
+* ``--chunks`` — the device tuning sweep (warps_per_block analog).
+* ``--list-strategies``, ``--host-parallel``, ``--seed``.
+
+Exit codes are errno-style like the reference's ERR_PTR convention
+(err.h:10-12).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from spmv_scpa_tpu.errors import ConfigError, SpmvError
+
+
+def parse_synth_spec(spec: str):
+    """``synth:banded:m=1000,row_nnz=32,seed=1`` → CSR."""
+    from spmv_scpa_tpu import testing as synth
+
+    parts = spec.split(":")
+    if len(parts) < 2 or parts[0] != "synth":
+        raise ConfigError(f"bad synth spec {spec!r}")
+    archetype = parts[1]
+    if archetype not in synth.ARCHETYPES:
+        raise ConfigError(
+            f"unknown archetype {archetype!r}; have {sorted(synth.ARCHETYPES)}")
+    kwargs = {}
+    if len(parts) > 2 and parts[2]:
+        for kv in parts[2].split(","):
+            k, _, v = kv.partition("=")
+            kwargs[k] = float(v) if "." in v else int(v)
+    A = synth.ARCHETYPES[archetype](**kwargs)
+    return A.with_name(f"{archetype}_" + "_".join(
+        f"{k}{v}" for k, v in sorted(kwargs.items())))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spmv_scpa_tpu",
+        description="TPU-native SpMV benchmark suite "
+                    "(CSR/HLL/BCSR/PELL x XLA/Pallas strategies)")
+    p.add_argument("-m", "--matrix",
+                   help=".mtx path or synth:<archetype>:k=v,...")
+    p.add_argument("-o", "--out", help="results directory (CSV logs)")
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="validate every result against the serial golden")
+    p.add_argument("-b", "--bench", default=None,
+                   help="comma-separated strategy filter "
+                        "(dead flag in the reference, live here)")
+    p.add_argument("--chunks", default="8,16,32",
+                   help="device kernel tile-chunk sweep")
+    p.add_argument("--seed", type=int, default=42, help="x vector seed")
+    p.add_argument("--host-parallel", action="store_true",
+                   help="also run XLA-on-CPU rows (OpenMP analog)")
+    p.add_argument("--list-strategies", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO if args.verbose else logging.WARNING,
+        format="%(levelname)s %(name)s: %(message)s")
+
+    from spmv_scpa_tpu.ops.registry import get_strategy, list_strategies
+
+    if args.list_strategies:
+        for name in list_strategies():
+            s = get_strategy(name)
+            print(f"{name:18s} fmt={s.fmt:5s} backend={s.backend:6s} "
+                  f"ref={s.cite}")
+        return 0
+
+    if not args.matrix or not args.out:
+        print("error: -m/--matrix and -o/--out are required "
+              "(see --help)", file=sys.stderr)
+        return 2
+
+    try:
+        if args.matrix.startswith("synth:"):
+            A = parse_synth_spec(args.matrix)
+        else:
+            from spmv_scpa_tpu.io.loader import load_csr
+            A = load_csr(args.matrix)
+    except SpmvError as e:
+        print(f"error loading matrix: {e}", file=sys.stderr)
+        return e.code
+    except OSError as e:
+        print(f"error reading {args.matrix}: {e}", file=sys.stderr)
+        return 1
+
+    print(f"[{A.name}] {A.m} x {A.n}, nnz={A.nnz}")
+
+    from spmv_scpa_tpu.bench.runner import RunConfig, run_benchmarks
+
+    cfg = RunConfig(
+        out_dir=args.out,
+        debug=args.debug,
+        strategies=args.bench.split(",") if args.bench else None,
+        chunks=tuple(int(c) for c in args.chunks.split(",")),
+        seed=args.seed,
+        host_parallel=args.host_parallel,
+    )
+    try:
+        results = run_benchmarks(A, cfg)
+    except SpmvError as e:
+        print(f"benchmark failed: {e}", file=sys.stderr)
+        return e.code
+
+    for r in results:
+        err = "" if r.rel_err is None else f"  rel_err={r.rel_err:.2e}"
+        chunk = "" if r.chunk is None else f" chunk={r.chunk}"
+        print(f"  {r.strategy:18s}{chunk:10s} {r.bench.duration_ms:10.4f} ms"
+              f" {r.bench.gflops:9.3f} GFLOPS{err}")
+    print(f"CSV logs appended under {cfg.out_dir}/")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

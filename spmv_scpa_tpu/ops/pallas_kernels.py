@@ -89,7 +89,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     interpret: bool | None):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
-    Builds a jitted ``fn(x[n]) -> y[m]``: Pallas tile pass producing
+    Builds a raw traceable ``fn(x[n]) -> y[m]``: Pallas tile pass producing
     per-tile 8-row partials, then an XLA segment-sum epilogue over the
     sorted row-block ids.
     """
@@ -148,17 +148,16 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         interpret=interpret,
     )
 
-    @jax.jit
-    def fn(x):
+    def raw(x, pan, rb, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
-        partials = call(pan_d, xp, *inputs)          # (t_pad*8, 1)
-        y = jax.ops.segment_sum(partials.reshape(t_pad, BR), rb_d,
+        partials = call(pan, xp, *tiles)             # (t_pad*8, 1)
+        y = jax.ops.segment_sum(partials.reshape(t_pad, BR), rb,
                                 num_segments=mb + 1,
                                 indices_are_sorted=True)
         return y[:mb].reshape(-1)[:m]
 
-    return fn
+    return raw, (pan_d, rb_d, *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -168,10 +167,13 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  interpret: bool | None = None, Prepared=None, **_):
     P = csr_to_pell(A)
-    fn = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n, vals=P.vals,
-                         lcol=P.lcol, panel=P.panel, rowblk=P.rowblk,
-                         dtype=dtype, chunk=chunk, interpret=interpret)
-    return Prepared("pallas-pell", A.name, fn, on_device=True, nnz=A.nnz,
+    from spmv_scpa_tpu.ops.registry import bind
+    raw, args = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n,
+                                vals=P.vals, lcol=P.lcol, panel=P.panel,
+                                rowblk=P.rowblk, dtype=dtype, chunk=chunk,
+                                interpret=interpret)
+    return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
+                    nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.hbm_bytes,
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk})
@@ -182,10 +184,13 @@ def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     B = csr_to_bcsr(A, br=BR, bc=BC)
     rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
                        np.diff(B.rowptr))
-    fn = _make_tile_spmv(name="pallas-bcsr", m=A.m, n=A.n, vals=B.vals,
-                         lcol=None, panel=B.col_panel, rowblk=rowblk,
-                         dtype=dtype, chunk=chunk, interpret=interpret)
-    return Prepared("pallas-bcsr", A.name, fn, on_device=True, nnz=A.nnz,
+    from spmv_scpa_tpu.ops.registry import bind
+    raw, args = _make_tile_spmv(name="pallas-bcsr", m=A.m, n=A.n,
+                                vals=B.vals, lcol=None, panel=B.col_panel,
+                                rowblk=rowblk, dtype=dtype, chunk=chunk,
+                                interpret=interpret)
+    return Prepared("pallas-bcsr", A.name, bind(raw, args), on_device=True,
+                    nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=B.padded_bytes,
                     meta={"num_blocks": B.num_tiles, "fill": B.fill,
                           "chunk": chunk})

@@ -52,9 +52,15 @@ class Prepared:
 
     strategy: str
     matrix: str
-    fn: Callable[[Any], Any]          # jitted device fn OR host fn
+    fn: Callable[[Any], Any]          # fn(x) -> y (jitted+bound or host)
     on_device: bool
     nnz: int
+    # Raw traceable fn(x, *args) + the device-array args, for device
+    # strategies. Arrays travel as jit ARGUMENTS (baking them in as
+    # closure constants re-ships gigabytes per compile); the bench
+    # layer embeds raw in an in-jit timing loop (bench/timing.py).
+    raw: Callable[..., Any] | None = None
+    args: tuple = ()
     # Bytes the kernel must stream from HBM per call (matrix data only,
     # excluding x/y), for roofline accounting. 0 if unknown.
     hbm_bytes: int = 0
@@ -110,6 +116,17 @@ def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
     return np.asarray(y, dtype=np.float64)
 
 
+def bind(raw, args):
+    """jit ``raw`` and bind its device-array args → ``fn(x)``."""
+    import jax
+    jitted = jax.jit(raw)
+
+    def fn(x):
+        return jitted(x, *args)
+
+    return fn
+
+
 def pick_auto(A: CSR) -> str:
     """Heuristic strategy choice: Pallas panel-ELL on TPU for matrices
     whose x fits VMEM, XLA segment-sum otherwise."""
@@ -134,6 +151,7 @@ def _ensure_builtin():
         return
     _BUILTIN_DONE = True
 
+    import jax
     import jax.numpy as jnp
 
     from spmv_scpa_tpu.formats.ell import csr_to_ell
@@ -154,9 +172,9 @@ def _ensure_builtin():
                         meta={"num_blocks": E.num_slices})
 
     def _prep_xla_segsum(A: CSR, dtype=jnp.float32, **_):
-        return Prepared("xla-csr-segsum", A.name,
-                        xla_ops.make_csr_segsum(A, dtype),
-                        on_device=True, nnz=A.nnz,
+        raw, args = xla_ops.make_csr_segsum(A, dtype)
+        return Prepared("xla-csr-segsum", A.name, bind(raw, args),
+                        on_device=True, nnz=A.nnz, raw=raw, args=args,
                         hbm_bytes=A.nnz * 12)  # val4 + ja4 + rowid4
 
     def _prep_xla_ell(A: CSR, col_major: bool, slice_h: int = 32,
@@ -165,15 +183,18 @@ def _ensure_builtin():
                        pad_mode="last")
         U = E.to_uniform()
         name = "xla-ell-cm" if col_major else "xla-ell-rm"
-        return Prepared(name, A.name, xla_ops.make_ell_uniform(U, dtype),
-                        on_device=True, nnz=A.nnz,
+        raw, args = xla_ops.make_ell_uniform(U, dtype)
+        return Prepared(name, A.name, bind(raw, args),
+                        on_device=True, nnz=A.nnz, raw=raw, args=args,
                         hbm_bytes=U.ja.size * 8,
                         meta={"num_blocks": E.num_slices,
                               "fill": A.nnz / max(U.ja.size, 1)})
 
     def _prep_xla_dense(A: CSR, dtype=jnp.float32, **_):
-        return Prepared("xla-dense", A.name, xla_ops.make_dense(A, dtype),
-                        on_device=True, nnz=A.nnz, hbm_bytes=A.m * A.n * 4)
+        raw, args = xla_ops.make_dense(A, dtype)
+        return Prepared("xla-dense", A.name, bind(raw, args),
+                        on_device=True, nnz=A.nnz, raw=raw, args=args,
+                        hbm_bytes=A.m * A.n * 4)
 
     register(StrategySpec("oracle-csr", "CSR", "host",
                           "csr_spmv_serial csr.c:201-216",

@@ -1,5 +1,13 @@
 """XLA-native SpMV/SpMM paths (no Pallas): gather + segment reduce.
 
+All ``make_*`` functions return ``(raw, args)``: a raw traceable
+function ``raw(x, *args)`` plus the tuple of device-resident matrix
+arrays. Arrays are passed as jit *arguments*, never closed over —
+closed-over device arrays get baked into the compiled program as
+constants (gigabytes re-shipped per compile). The registry jits and
+binds them; the bench layer embeds ``raw`` in timing loops
+(bench/timing.py).
+
 These are the always-correct baselines of the strategy axis, the TPU
 analog of the reference's straightforward kernels:
 
@@ -12,9 +20,8 @@ analog of the reference's straightforward kernels:
   (cuda_hll.cu:19-72). Padded slots hold in-bounds dummy columns with
   0.0 values (cuda_hll.cu:176-195), so no masking is needed.
 
-All functions build **jitted closures** over device-resident matrix
-arrays: benchmark timing then measures only the kernel, mirroring the
-reference's kernel-only cudaEvent timing (cuda_csr.cu:224-226).
+Benchmark timing measures only the kernel, mirroring the reference's
+kernel-only cudaEvent timing (cuda_csr.cu:224-226).
 """
 
 from __future__ import annotations
@@ -38,36 +45,32 @@ def _put(a, dtype=None):
 # ---------------------------------------------------------------------------
 
 def make_csr_segsum(A: CSR, dtype=jnp.float32):
-    """Return a jitted ``fn(x) -> y`` computing ``A @ x`` via
-    gather + segment_sum. Segment ids are sorted (CSR row order)."""
-    ja = _put(A.ja, jnp.int32)
-    as_ = _put(A.as_, dtype)
-    rows = _put(A.row_ids(), jnp.int32)
+    """``A @ x`` via gather + segment_sum. Segment ids are sorted
+    (CSR row order)."""
+    args = (_put(A.ja, jnp.int32), _put(A.as_, dtype),
+            _put(A.row_ids(), jnp.int32))
     m = A.m
 
-    @jax.jit
-    def fn(x):
-        prod = as_ * jnp.take(x.astype(dtype), ja)
+    def raw(x, ja, as_, rows):
+        prod = as_ * jnp.take(x.astype(as_.dtype), ja)
         return jax.ops.segment_sum(prod, rows, num_segments=m,
                                    indices_are_sorted=True)
 
-    return fn
+    return raw, args
 
 
 def make_csr_segsum_spmm(A: CSR, dtype=jnp.float32):
-    """SpMM variant: ``fn(X[n, c]) -> Y[m, c]``."""
-    ja = _put(A.ja, jnp.int32)
-    as_ = _put(A.as_, dtype)
-    rows = _put(A.row_ids(), jnp.int32)
+    """SpMM variant: ``raw(X[n, c], *args) -> Y[m, c]``."""
+    args = (_put(A.ja, jnp.int32), _put(A.as_, dtype),
+            _put(A.row_ids(), jnp.int32))
     m = A.m
 
-    @jax.jit
-    def fn(X):
-        prod = as_[:, None] * jnp.take(X.astype(dtype), ja, axis=0)
+    def raw(X, ja, as_, rows):
+        prod = as_[:, None] * jnp.take(X.astype(as_.dtype), ja, axis=0)
         return jax.ops.segment_sum(prod, rows, num_segments=m,
                                    indices_are_sorted=True)
 
-    return fn
+    return raw, args
 
 
 # ---------------------------------------------------------------------------
@@ -78,32 +81,28 @@ def make_ell_uniform(E: UniformEll, dtype=jnp.float32):
     """Return a jitted ``fn(x) -> y`` over the statically-padded ELL
     arrays. Works for both layouts; the reduction runs over the slot
     axis (axis 2 row-major, axis 1 col-major — hll.c:84-88)."""
-    ja = _put(E.ja, jnp.int32)
-    as_ = _put(E.as_, dtype)
-    m, slice_h, col_major = E.m, E.slice_h, E.col_major
-    slot_axis = 1 if col_major else 2
+    args = (_put(E.ja, jnp.int32), _put(E.as_, dtype))
+    m = E.m
+    slot_axis = 1 if E.col_major else 2
 
-    @jax.jit
-    def fn(x):
-        xv = jnp.take(x.astype(dtype), ja)          # (ns, ·, ·)
+    def raw(x, ja, as_):
+        xv = jnp.take(x.astype(as_.dtype), ja)       # (ns, ·, ·)
         y = jnp.sum(as_ * xv, axis=slot_axis)        # (ns, slice_h)
         return y.reshape(-1)[:m]
 
-    return fn
+    return raw, args
 
 
 def make_ell_uniform_spmm(E: UniformEll, dtype=jnp.float32):
-    ja = _put(E.ja, jnp.int32)
-    as_ = _put(E.as_, dtype)
+    args = (_put(E.ja, jnp.int32), _put(E.as_, dtype))
     m, slot_axis = E.m, (1 if E.col_major else 2)
 
-    @jax.jit
-    def fn(X):
-        xv = jnp.take(X.astype(dtype), ja, axis=0)   # (ns, ·, ·, c)
+    def raw(X, ja, as_):
+        xv = jnp.take(X.astype(as_.dtype), ja, axis=0)   # (ns, ·, ·, c)
         y = jnp.sum(as_[..., None] * xv, axis=slot_axis)
         return y.reshape(-1, X.shape[1])[:m]
 
-    return fn
+    return raw, args
 
 
 # ---------------------------------------------------------------------------
@@ -114,13 +113,12 @@ def make_dense(A: CSR, dtype=jnp.float32):
     """Materialize A densely and matmul — only sensible for tiny
     matrices (the launch-bound regime where the reference's GPU kernels
     drop to ~0-2 GFLOPS, SURVEY.md section 6)."""
-    Ad = _put(A.to_dense(), dtype)
+    args = (_put(A.to_dense(), dtype),)
 
-    @jax.jit
-    def fn(x):
-        return Ad @ x.astype(dtype)
+    def raw(x, Ad):
+        return Ad @ x.astype(Ad.dtype)
 
-    return fn
+    return raw, args
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,150 @@
+"""Distributed row-sharded SpMV over a device mesh.
+
+ABSENT-IN-REF: the reference is strictly single-process / single-GPU
+(SURVEY.md section 2, distributed rows) — this is the capability the
+BASELINE.json config 5 adds: shard A's rows across chips, keep x
+replicated (all-gathered over ICI), compute local SpMV per chip,
+results stay row-sharded.
+
+Design (idiomatic JAX, not an MPI translation):
+
+* 1-D mesh over all devices, axis ``"rows"``.
+* The nnz-balanced row partitioner (the OpenMP planner re-used as the
+  shard planner — formats/csr.py:partition_rows_by_nnz, reference
+  csr.c:218-276) chooses per-chip row spans; spans are padded to equal
+  row counts so shards have static identical shapes (SPMD requirement).
+* Within ``shard_map``: x arrives replicated (an all-gather over ICI
+  inserted by the sharding, riding the ring); each chip runs the local
+  strategy kernel; y stays sharded along "rows".
+
+Every per-chip shard is itself a CSR, so any registered single-chip
+strategy (XLA or Pallas) serves as the local kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+
+from spmv_scpa_tpu.formats.csr import CSR, partition_rows_by_nnz
+
+
+def make_mesh(n_devices: int | None = None, devices=None, axis: str = "rows"):
+    """1-D mesh over (CPU-virtual or real) devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def plan_row_shards(A: CSR, n_shards: int) -> tuple[np.ndarray, int]:
+    """nnz-balanced contiguous row spans + the padded uniform shard
+    height (SPMD shards must have identical shapes)."""
+    bounds = partition_rows_by_nnz(A.irp, n_shards)
+    heights = np.diff(bounds)
+    return bounds, int(heights.max(initial=0))
+
+
+@dataclass
+class RowShardedSpmv:
+    """Prepared distributed SpMV: ``fn(x) -> y`` with y of length m.
+
+    ``fn`` is jitted over the mesh; per-shard matrices are device-put
+    according to the row sharding at build time.
+    """
+
+    mesh: object
+    fn: object
+    m: int
+    n: int
+    nnz: int
+    bounds: np.ndarray
+    shard_nnz: np.ndarray
+
+
+def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
+                        dtype=None, local_strategy: str = "segsum"):
+    """Build the distributed SpMV.
+
+    The local kernel is the XLA segment-sum CSR (always valid). Each
+    shard's arrays are padded to uniform sizes: rows to the max span
+    height, nnz to the max shard nnz (padded entries point at column 0
+    with value 0 — the in-bounds dummy-read trick, cuda_hll.cu:176-195).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if dtype is None:
+        dtype = jnp.float32
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    bounds, h = plan_row_shards(A, n_dev)
+    shard_nnz = np.diff(A.irp[bounds].astype(np.int64))
+    max_nnz = int(shard_nnz.max(initial=1))
+    max_nnz = max(max_nnz, 1)
+
+    # Pack per-shard padded arrays: (n_dev, max_nnz) and (n_dev, h+1).
+    ja = np.zeros((n_dev, max_nnz), dtype=np.int32)
+    as_ = np.zeros((n_dev, max_nnz), dtype=np.float64)
+    seg = np.full((n_dev, max_nnz), h - 1 if h else 0, dtype=np.int32)
+    all_rows = A.row_ids()
+    for d in range(n_dev):
+        r0, r1 = int(bounds[d]), int(bounds[d + 1])
+        lo, hi = int(A.irp[r0]), int(A.irp[r1])
+        k = hi - lo
+        ja[d, :k] = A.ja[lo:hi]
+        as_[d, :k] = A.as_[lo:hi]
+        seg[d, :k] = all_rows[lo:hi] - r0
+        if k < max_nnz:
+            seg[d, k:] = h  # dump segment (sliced off)
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    ja_d = jax.device_put(jnp.asarray(ja), shard)
+    as_d = jax.device_put(jnp.asarray(as_, dtype), shard)
+    seg_d = jax.device_put(jnp.asarray(seg), shard)
+
+    def local_spmv(ja_s, as_s, seg_s, x):
+        # one shard: (1, max_nnz) arrays, x replicated (n,)
+        prod = as_s[0] * jnp.take(x.astype(dtype), ja_s[0])
+        y = jax.ops.segment_sum(prod, seg_s[0], num_segments=h + 1,
+                                indices_are_sorted=True)
+        return y[None, :h]
+
+    mapped = shard_map(local_spmv, mesh=mesh,
+                       in_specs=(P(axis), P(axis), P(axis), P()),
+                       out_specs=P(axis))
+
+    m, n = A.m, A.n
+
+    # matrix arrays travel as jit arguments, not baked-in constants
+    def raw(x, ja_a, as_a, seg_a, bounds_lo, bounds_hi):
+        y_pad = mapped(ja_a, as_a, seg_a, x)          # (n_dev, h)
+        # unpad: shard d covers rows [bounds[d], bounds[d+1])
+        flat = y_pad.reshape(-1)
+        idx = jnp.arange(m, dtype=jnp.int32)
+        # map global row -> (shard, local) via searchsorted over bounds
+        sh = jnp.searchsorted(bounds_hi, idx, side="right")
+        local = idx - jnp.take(bounds_lo, sh)
+        return jnp.take(flat, sh * h + local)
+
+    jitted = jax.jit(raw)
+    extra = (jnp.asarray(bounds[:-1], jnp.int32),
+             jnp.asarray(bounds[1:], jnp.int32))
+
+    def fn(x):
+        return jitted(x, ja_d, as_d, seg_d, *extra)
+
+    return RowShardedSpmv(mesh=mesh, fn=fn, m=m, n=n, nnz=A.nnz,
+                          bounds=bounds, shard_nnz=shard_nnz)

@@ -25,17 +25,34 @@ from spmv_scpa_tpu.formats.csr import CSR
 
 
 def banded_csr(m: int, n: int | None = None, row_nnz: int = 32,
-               bandwidth: int = 256, seed: int = 0,
+               bandwidth: int = 256, seed: int = 0, runs: int = 0,
                name: str = "synth_banded") -> CSR:
     """Clustered band: each row gets ``row_nnz`` columns near the
-    diagonal within ``bandwidth`` — FEM archetype."""
+    diagonal within ``bandwidth`` — FEM archetype.
+
+    ``runs > 0`` emits the nonzeros as that many *contiguous* column
+    runs per row (real FEM matrices store dense multi-dof blocks, which
+    is why their nonzeros come in consecutive-column runs); ``runs=0``
+    scatters them uniformly over the band (a pessimistic layout for
+    padded formats)."""
     n = n or m
     rng = np.random.default_rng(seed)
-    rows = np.repeat(np.arange(m), row_nnz)
     center = (np.arange(m, dtype=np.float64) * n / m).astype(np.int64)
-    off = rng.integers(-bandwidth // 2, bandwidth // 2 + 1,
-                       size=rows.shape[0])
-    cols = np.clip(np.repeat(center, row_nnz) + off, 0, n - 1)
+    if runs > 0:
+        runs = min(runs, row_nnz)
+        run_len = row_nnz // runs
+        starts = rng.integers(-bandwidth // 2, bandwidth // 2 + 1,
+                              size=(m, runs))
+        cols = (center[:, None, None] + starts[:, :, None]
+                + np.arange(run_len)[None, None, :]).reshape(m, -1)
+        cols = np.clip(cols, 0, n - 1)
+        rows = np.repeat(np.arange(m), cols.shape[1])
+        cols = cols.reshape(-1)
+    else:
+        rows = np.repeat(np.arange(m), row_nnz)
+        off = rng.integers(-bandwidth // 2, bandwidth // 2 + 1,
+                           size=rows.shape[0])
+        cols = np.clip(np.repeat(center, row_nnz) + off, 0, n - 1)
     vals = rng.standard_normal(rows.shape[0])
     # dedup (row, col) to keep nnz counts honest
     key = rows * n + cols

@@ -1,0 +1,53 @@
+"""Distributed row-sharded SpMV on the 8-device virtual CPU mesh
+(SURVEY.md section 4: the standard JAX answer to testing multi-chip
+paths without hardware)."""
+
+import numpy as np
+import pytest
+
+from spmv_scpa_tpu import testing as synth
+from spmv_scpa_tpu.ops.oracle import spmv_oracle
+from spmv_scpa_tpu.parallel.distributed import (make_mesh, plan_row_shards,
+                                                prepare_row_sharded)
+from spmv_scpa_tpu.utils.validation import validate_result
+from spmv_scpa_tpu.utils.vector import make_x
+
+
+def _cpu_mesh(n):
+    import jax
+    return make_mesh(devices=jax.devices("cpu")[:n])
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_row_sharded_matches_oracle(n_dev):
+    A = synth.banded_csr(500, row_nnz=9, bandwidth=60, seed=6)
+    dist = prepare_row_sharded(A, mesh=_cpu_mesh(n_dev))
+    x = make_x(A.n)
+    got = np.asarray(dist.fn(x), dtype=np.float64)
+    validate_result(spmv_oracle(A, x), got, what=f"dist n={n_dev}")
+
+
+def test_row_sharded_powerlaw_imbalance():
+    # nnz-balanced shard planner must handle skewed rows (config 4/5)
+    A = synth.powerlaw_csr(600, 600, seed=12)
+    dist = prepare_row_sharded(A, mesh=_cpu_mesh(8))
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)), what="dist-pl")
+    # balance: max shard nnz within 2x ideal + one max row
+    ideal = A.nnz / 8
+    assert dist.shard_nnz.max() <= 2 * ideal + A.row_lengths().max()
+
+
+def test_row_sharded_empty_shards():
+    # more devices than meaningful rows → trailing empty shards
+    A = synth.diag_csr(5)
+    dist = prepare_row_sharded(A, mesh=_cpu_mesh(8))
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)), what="tiny")
+
+
+def test_plan_row_shards_covers_all_rows():
+    A = synth.random_csr(100, 100, density=0.05, seed=2)
+    bounds, h = plan_row_shards(A, 4)
+    assert bounds[0] == 0 and bounds[-1] == A.m
+    assert h >= max(np.diff(bounds))

@@ -65,7 +65,8 @@ def test_spmm_segsum():
     from spmv_scpa_tpu.ops import xla as xla_ops
     A = synth.banded_csr(100, row_nnz=6, bandwidth=30, seed=2)
     X = make_x(A.n, cols=8)
-    fn = xla_ops.make_csr_segsum_spmm(A)
+    from spmv_scpa_tpu.ops.registry import bind
+    fn = bind(*xla_ops.make_csr_segsum_spmm(A))
     validate_result(spmm_oracle(A, X), np.asarray(fn(X)), what="spmm")
 
 

@@ -1,0 +1,130 @@
+"""Native parser + CLI + CSV logger end-of-pipe tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from spmv_scpa_tpu.io import mmio, native
+from spmv_scpa_tpu.io.loader import load_csr
+
+
+MTX = """%%MatrixMarket matrix coordinate real general
+% comment line
+4 5 6
+1 1 1.5
+1 3 2.0e1
+2 2 -3.25
+3 5 4.0
+4 1 5.5
+4 4 -1e-3
+"""
+
+
+@pytest.fixture()
+def mtx_file(tmp_path):
+    p = tmp_path / "t.mtx"
+    p.write_text(MTX)
+    return str(p)
+
+
+def test_native_matches_python(mtx_file):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    ref = mmio.read(mtx_file)
+    got = native.read_mtx(mtx_file)
+    np.testing.assert_array_equal(got.row, ref.row)
+    np.testing.assert_array_equal(got.col, ref.col)
+    np.testing.assert_allclose(got.val, ref.val)
+    assert (got.nrows, got.ncols) == (ref.nrows, ref.ncols)
+
+
+def test_native_pattern(tmp_path):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "p.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate pattern symmetric\n"
+                 "3 3 2\n2 1\n3 3\n")
+    got = native.read_mtx(str(p))
+    assert got.val is None
+    assert got.row.tolist() == [1, 2]
+    assert got.col.tolist() == [0, 2]
+
+
+def test_native_truncated(tmp_path):
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "2 2 3\n1 1 1.0\n")
+    from spmv_scpa_tpu.errors import MatrixFormatError
+    with pytest.raises(MatrixFormatError):
+        native.read_mtx(str(p))
+
+
+def test_loader_uses_native_and_matches(mtx_file):
+    a = load_csr(mtx_file, use_native=False)
+    b = load_csr(mtx_file)          # auto (native if buildable)
+    np.testing.assert_allclose(a.to_dense(), b.to_dense())
+
+
+def test_cli_end_to_end(mtx_file, tmp_path):
+    from spmv_scpa_tpu.cli import main
+    out = str(tmp_path / "res")
+    rc = main(["-m", mtx_file, "-o", out, "-d",
+               "-b", "xla-csr-segsum", "--chunks", "8"])
+    assert rc == 0
+    serial = (tmp_path / "res" / "serial.csv").read_text().splitlines()
+    assert serial[0] == ("matrix,format,rows,cols,nnz,num_blocks,"
+                         "duration_ms,gflops")
+    assert serial[1].startswith("t,CSR,4,5,6,,")
+    assert serial[2].startswith("t,HLL,4,5,6,")
+    cuda = (tmp_path / "res" / "cuda.csv").read_text().splitlines()
+    assert cuda[0].startswith("matrix,format,kernel,warps_per_block")
+    assert any(",CSR,0," in ln for ln in cuda[1:])
+    # append mode: a second run adds rows, keeps single header
+    rc = main(["-m", mtx_file, "-o", out, "-b", "xla-csr-segsum"])
+    assert rc == 0
+    serial2 = (tmp_path / "res" / "serial.csv").read_text().splitlines()
+    assert len(serial2) == 2 * (len(serial) - 1) + 1
+
+
+def test_cli_synth_and_errors(tmp_path):
+    from spmv_scpa_tpu.cli import main
+    rc = main(["-m", "synth:banded:m=64,row_nnz=4,bandwidth=16",
+               "-o", str(tmp_path / "r"), "-b", "xla-csr-segsum", "-d"])
+    assert rc == 0
+    assert main([]) == 2                       # missing required args
+    assert main(["--list-strategies"]) == 0
+    rc = main(["-m", str(tmp_path / "nope.mtx"), "-o", str(tmp_path / "r")])
+    assert rc != 0
+
+
+def test_cli_validation_failure_aborts(tmp_path):
+    # a kernel that lies must abort the run in debug mode
+    # (reference: main.c:161-168)
+    import dataclasses
+
+    from spmv_scpa_tpu.cli import main
+    from spmv_scpa_tpu.ops import registry
+
+    spec = registry.get_strategy("xla-csr-segsum")
+    orig = spec.prepare
+
+    def lying_prepare(A, **kw):
+        prep = orig(A, **kw)
+        good_fn, good_raw = prep.fn, prep.raw
+        prep.fn = lambda x: good_fn(x) + 1e6
+        prep.raw = lambda x, *a: good_raw(x, *a) + 1e6
+        return prep
+
+    registry._REGISTRY[spec.name] = dataclasses.replace(
+        spec, prepare=lying_prepare)
+    try:
+        rc = main(["-m", "synth:banded:m=64,row_nnz=4,bandwidth=16",
+                   "-o", str(tmp_path / "r"), "-b", "xla-csr-segsum", "-d"])
+        assert rc != 0
+    finally:
+        registry._REGISTRY[spec.name] = spec
