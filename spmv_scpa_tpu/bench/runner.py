@@ -107,7 +107,8 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 except Exception as e:  # e.g. VMEM budget exceeded
                     log.warning("%s (chunk=%s) skipped: %s", name, chunk, e)
                     continue
-                rel = _check(cfg, golden, r.data, f"{name} chunk={chunk}")
+                rel = _check(cfg, golden, r.data, f"{name} chunk={chunk}",
+                             rtol=prep.meta.get("rtol"))
                 logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
                                   chunk=chunk, rows=A.m, cols=A.n,
                                   nnz=A.nnz, num_blocks=_fmt_blocks(prep),
@@ -147,7 +148,8 @@ def _run_host_parallel(A, x, golden, cfg, logger, results):
         results.append(RowResult(name + "@cpu", fmt, None, r, rel))
 
 
-def _check(cfg, golden, got, what) -> float | None:
+def _check(cfg, golden, got, what, rtol=None) -> float | None:
     if not cfg.debug:
         return None
-    return validate_result(golden, got, what=what)
+    kw = {"rtol": rtol} if rtol else {}
+    return validate_result(golden, got, what=what, **kw)

@@ -47,6 +47,23 @@ def compute_gflops(nnz: int, duration_ms: float, ncols: int = 1) -> float:
     return 2.0 * nnz * ncols / (duration_ms * 1e6)
 
 
+_WARMED = False
+
+
+def warm_compiler():
+    """Compile a trivial program once per process. The first XLA
+    compile in this environment pays a 30-300 s remote-compile-service
+    warmup regardless of program size; subsequent compiles are
+    sub-second. Call before any timed preparation."""
+    global _WARMED
+    if _WARMED:
+        return
+    _WARMED = True
+    import jax
+    import jax.numpy as jnp
+    np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.ones((128, 128))))
+
+
 def time_host_fn(fn, x, *, nnz: int, reps: int = 10,
                  max_time_s: float = 5.0) -> BenchResult:
     """Time a host (NumPy) kernel directly — the serial path
@@ -95,7 +112,7 @@ def _sync_run(run, x_d, k, args) -> float:
 
 def time_device_fn(raw_fn, x, *, args: tuple = (), nnz: int, ncols: int = 1,
                    target_s: float = 0.4, k0: int = 2,
-                   max_k: int = 4096) -> BenchResult:
+                   max_k: int = 4096, prep_x=None, post=None) -> BenchResult:
     """Amortized device timing of ``raw_fn(x, *args)`` (traceable,
     unjitted; args are device-resident matrix arrays).
 
@@ -106,7 +123,7 @@ def time_device_fn(raw_fn, x, *, args: tuple = (), nnz: int, ncols: int = 1,
     import jax
     import jax.numpy as jnp
 
-    x_d = jax.device_put(jnp.asarray(x))
+    x_d = prep_x(x) if prep_x else jax.device_put(jnp.asarray(x))
     run = _make_looped(raw_fn)
     _sync_run(run, x_d, 1, args)                     # compile + warm
     w0 = _sync_run(run, x_d, k0, args)
@@ -130,7 +147,8 @@ def time_device_fn(raw_fn, x, *, args: tuple = (), nnz: int, ncols: int = 1,
     per_call = max(per_call, 1e-9)
     ms = per_call * 1e3
 
-    y = np.asarray(jax.jit(raw_fn)(x_d, *args), dtype=np.float64)
+    y = jax.jit(raw_fn)(x_d, *args)
+    y = np.asarray(post(y) if post else y, dtype=np.float64)
     return BenchResult(ms, compute_gflops(nnz, ms, ncols), data=y,
                        reps=k, all_ms=[w_lo * 1e3, w_hi * 1e3])
 
@@ -141,5 +159,6 @@ def time_prepared(prep, x, **kw) -> BenchResult:
     if prep.on_device and prep.raw is not None:
         ncols = 1 if np.ndim(x) <= 1 else np.shape(x)[-1]
         return time_device_fn(prep.raw, x, args=prep.args, nnz=prep.nnz,
-                              ncols=ncols, **kw)
+                              ncols=ncols, prep_x=prep.prep_x,
+                              post=prep.post, **kw)
     return time_host_fn(prep.fn, x, nnz=prep.nnz)

@@ -12,20 +12,22 @@ Design (see SURVEY.md section 7 and the format docstrings):
   ``jnp.take_along_axis``) only supports same-shape tiles, so PELL
   stores lane-local column indices (< 128). BCSR needs no gather at
   all (dense tiles).
-* **No scatter**: each tile emits an 8-row partial; a tiny XLA
-  segment-sum over the (sorted) tile row-block ids finishes y. The
-  partial traffic is ``T*8*4 B`` ≈ vals/128 — negligible.
+* **No scatter**: each tile quantum emits an 8-row partial; an XLA
+  segment-sum over the quantum row-block ids finishes y. The partial
+  traffic is ``T*8*nq*4 B`` ≈ vals/quantum — small.
+* **Chunked grid**: each grid step streams ``chunk`` tiles; the kernel
+  body is vectorized over the whole chunk (one gather, one multiply,
+  one MXU reduction) — per-tile small VPU ops, not HBM bandwidth, were
+  the bottleneck in a naive per-tile loop.
 
-Per-tile work in the kernel body: 2 dynamic slices, one lane gather,
-one multiply, one lane reduction — all VPU; the kernel is HBM-bandwidth
-bound by construction, which is the roofline the benchmark targets
-(BASELINE.md).
+The ``chunk`` and ``quantum`` parameters are the tuning axes mirroring
+the reference's warps_per_block sweep (main.c:265-269) and
+thread/warp/halfwarp-per-row strategy family (cuda_csr.cu).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spmv_scpa_tpu.formats.bcsr import csr_to_bcsr
 from spmv_scpa_tpu.formats.csr import CSR
-from spmv_scpa_tpu.formats.panel_ell import BC, BR, csr_to_pell
+from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
+                                             csr_to_pell)
 
-DEFAULT_CHUNK = 16           # tiles per grid step (tunable sweep axis)
+DEFAULT_CHUNK = 32           # tiles per grid step (tunable sweep axis)
 X_VMEM_BUDGET = 12 << 20     # max bytes of x kept resident in VMEM
 
 
@@ -53,32 +56,49 @@ def _pad_tiles(arr: np.ndarray, t_pad: int, fill=0):
     return np.pad(arr, pad, constant_values=fill)
 
 
-def _tile_kernel(chunk: int, gathered: bool):
+def _tile_kernel(chunk: int, gathered: bool, nq: int):
     """Kernel body: process ``chunk`` tiles of (8,128) slots.
 
     refs: pan (SMEM, prefetched), x (P,128) VMEM, vals (chunk*8,128),
-    [lcol (chunk*8,128) if gathered], out (chunk*8,1).
+    [lcol (chunk*8,128) if gathered], out (chunk*8,nq),
+    xg (chunk*8,128) VMEM scratch.
+
+    1. per tile: one dynamic-slice + broadcast store assembling the
+       tile's x panel into ``xg`` (the only per-tile work);
+    2. one same-shape lane gather over the whole chunk (PELL only);
+    3. one (chunk*8,128) multiply;
+    4. one MXU matmul against the (128,nq) quantum-segment matrix —
+       reduces every quantum of every tile in a single op (a per-tile
+       cross-lane VPU reduction costs ~7 shuffle steps each).
     """
+    q = BC // nq
 
     def kernel(pan_ref, x_ref, vals_ref, *rest):
         if gathered:
-            lcol_ref, out_ref = rest
+            lcol_ref, out_ref, xg_ref = rest
         else:
-            (out_ref,) = rest
+            out_ref, xg_ref = rest
         t0 = pl.program_id(0) * chunk
 
-        def body(c, _):
-            v = vals_ref[pl.ds(c * BR, BR), :]
+        for c in range(chunk):  # unrolled: c is static
             p = pan_ref[t0 + c]
-            xp = jnp.broadcast_to(x_ref[pl.ds(p, 1), :], (BR, BC))
-            if gathered:
-                li = lcol_ref[pl.ds(c * BR, BR), :]
-                xp = jnp.take_along_axis(xp, li, axis=1)
-            out_ref[pl.ds(c * BR, BR), :] = jnp.sum(
-                v * xp, axis=1, keepdims=True)
-            return 0
-
-        jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+            xg_ref[c * BR:(c + 1) * BR, :] = jnp.broadcast_to(
+                x_ref[pl.ds(p, 1), :], (BR, BC))
+        xv = xg_ref[:]
+        if gathered:
+            xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
+        prod = vals_ref[:] * xv
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
+        seg_mat = (lane // q == seg).astype(prod.dtype)
+        # HIGHEST precision: the default MXU f32 path rounds operands
+        # to bf16 (one pass), costing ~1e-3 relative error; HIGHEST
+        # uses the multi-pass f32 emulation. The seg_mat operand is
+        # exactly representable either way; the products are not.
+        out_ref[:] = jax.lax.dot_general(
+            prod, seg_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
 
     return kernel
 
@@ -89,12 +109,16 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     interpret: bool | None):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
-    Builds a raw traceable ``fn(x[n]) -> y[m]``: Pallas tile pass producing
-    per-tile 8-row partials, then an XLA segment-sum epilogue over the
-    sorted row-block ids.
+    Builds a raw traceable ``fn(x[n], *args) -> y[m]``: Pallas tile
+    pass producing per-quantum 8-row partials, then an XLA segment-sum
+    epilogue over the quantum row-block ids. ``rowblk`` has shape
+    (T, nq) — the 8-row block fed by each lane quantum.
     """
     if interpret is None:
         interpret = _auto_interpret()
+    if rowblk.ndim == 1:
+        rowblk = rowblk[:, None]
+    nq = rowblk.shape[1]
     T = vals.shape[0]
     t_pad = max(chunk, -(-T // chunk) * chunk)
     mb = (m + BR - 1) // BR
@@ -111,7 +135,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         jnp.asarray(_pad_tiles(vals, t_pad).reshape(t_pad * BR, BC), dtype))
     pan_d = jax.device_put(jnp.asarray(_pad_tiles(panel, t_pad), jnp.int32))
     rb_d = jax.device_put(jnp.asarray(
-        _pad_tiles(rowblk, t_pad, fill=mb), jnp.int32))
+        _pad_tiles(rowblk, t_pad, fill=mb).reshape(-1), jnp.int32))
     # index maps take (grid idx, *prefetched scalar refs)
     tile_map = lambda i, pan: (i, 0)  # noqa: E731
     inputs = [vals_d]
@@ -129,15 +153,16 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         num_scalar_prefetch=1,
         grid=(t_pad // chunk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs,
-        out_specs=pl.BlockSpec((chunk * BR, 1), tile_map,
+        out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk * BR, BC), dtype)],
     )
     vmem_limit = min(
         int(x_bytes + 4 * chunk * BR * BC * 8 + (2 << 20)), 100 << 20)
     call = pl.pallas_call(
-        _tile_kernel(chunk, gathered),
+        _tile_kernel(chunk, gathered, nq),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad * BR, 1), dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad * BR, nq), dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * BR * BC,
@@ -147,17 +172,126 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         ),
         interpret=interpret,
     )
+    # With one quantum per tile (BCSR / quantum=128 PELL) tiles are
+    # emitted in row-block order → sorted segment ids; multi-quantum
+    # tiles interleave row blocks → unsorted scatter-add epilogue.
+    seg_sorted = nq == 1
 
     def raw(x, pan, rb, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
-        partials = call(pan, xp, *tiles)             # (t_pad*8, 1)
-        y = jax.ops.segment_sum(partials.reshape(t_pad, BR), rb,
+        partials = call(pan, xp, *tiles)             # (t_pad*8, nq)
+        # (t_pad, 8, nq) -> (t_pad*nq, 8) matching rb layout (T, nq)
+        per_q = partials.reshape(t_pad, BR, nq).transpose(0, 2, 1)
+        y = jax.ops.segment_sum(per_q.reshape(t_pad * nq, BR), rb,
                                 num_segments=mb + 1,
-                                indices_are_sorted=True)
+                                indices_are_sorted=seg_sorted)
         return y[:mb].reshape(-1)[:m]
 
     return raw, (pan_d, rb_d, *inputs)
+
+
+# ---------------------------------------------------------------------------
+# BCSR SpMM (multi-vector) — the MXU path (BASELINE.json config 3)
+# ---------------------------------------------------------------------------
+
+def _spmm_kernel(chunk: int, cc: int):
+    """Per chunk: ``chunk`` MXU matmuls (8,128)@(128,cc).
+
+    X is VMEM-resident flattened to (P*128, cc) so a column panel is a
+    contiguous 128-sublane slice — SpMV's (P,128) panel view widened to
+    cc right-hand sides. The matrix tile streams once and feeds cc
+    columns: the arithmetic-intensity regime the MXU exists for.
+    """
+
+    def kernel(pan_ref, xt_ref, vals_ref, out_ref):
+        t0 = pl.program_id(0) * chunk
+        for c in range(chunk):
+            p = pan_ref[t0 + c]
+            xp = xt_ref[pl.ds(p * BC, BC), :]          # (128, cc)
+            out_ref[c * BR:(c + 1) * BR, :] = jax.lax.dot_general(
+                vals_ref[c * BR:(c + 1) * BR, :], xp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
+
+    return kernel
+
+
+def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
+                   chunk: int = DEFAULT_CHUNK,
+                   interpret: bool | None = None):
+    """Raw traceable ``fn(X[n, cols], *args) -> Y[m, cols]`` over BCSR
+    tiles through the MXU."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B = csr_to_bcsr(A, br=BR, bc=BC)
+    rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
+                       np.diff(B.rowptr))
+    T = B.num_tiles
+    t_pad = max(chunk, -(-T // chunk) * chunk)
+    m, n = A.m, A.n
+    mb = (m + BR - 1) // BR
+    p_rows = max(1, -(-n // BC))
+
+    x_bytes = p_rows * BC * cols * jnp.dtype(dtype).itemsize
+    if x_bytes > X_VMEM_BUDGET:
+        raise ValueError(
+            f"bcsr-spmm: X ({x_bytes} B) exceeds VMEM budget; reduce cols"
+            " or matrix size")
+
+    vals_d = jax.device_put(jnp.asarray(
+        _pad_tiles(B.vals, t_pad).reshape(t_pad * BR, BC), dtype))
+    pan_d = jax.device_put(
+        jnp.asarray(_pad_tiles(B.col_panel, t_pad), jnp.int32))
+    rb_d = jax.device_put(jnp.asarray(
+        _pad_tiles(rowblk, t_pad, fill=mb), jnp.int32))
+
+    tile_map = lambda i, pan: (i, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_pad // chunk,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec((chunk * BR, BC), tile_map,
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((chunk * BR, cols), tile_map,
+                               memory_space=pltpu.VMEM),
+    )
+    call = pl.pallas_call(
+        _spmm_kernel(chunk, cols),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad * BR, cols), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(x_bytes) + (8 << 20), 100 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * BR * BC * cols,
+            bytes_accessed=int(vals_d.size * 4 + x_bytes),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def raw(X, pan, rb, vals):
+        Xp = jnp.zeros((p_rows * BC, cols), dtype)
+        Xp = Xp.at[:n].set(X.astype(dtype))
+        partials = call(pan, Xp, vals)               # (t_pad*8, cols)
+        y = jax.ops.segment_sum(
+            partials.reshape(t_pad, BR, cols), rb,
+            num_segments=mb + 1, indices_are_sorted=True)
+        return y[:mb].reshape(-1, cols)[:m]
+
+    return raw, (pan_d, rb_d, vals_d), B
+
+
+def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
+                      chunk: int = DEFAULT_CHUNK,
+                      interpret: bool | None = None, Prepared=None, **_):
+    from spmv_scpa_tpu.ops.registry import bind
+    raw, args, B = make_bcsr_spmm(A, cols, dtype, chunk, interpret)
+    return Prepared("pallas-bcsr-spmm", A.name, bind(raw, args),
+                    on_device=True, nnz=A.nnz, raw=raw, args=args,
+                    hbm_bytes=B.padded_bytes,
+                    meta={"num_blocks": B.num_tiles, "fill": B.fill,
+                          "chunk": chunk, "cols": cols})
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +299,9 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
+                 quantum: int = DEFAULT_QUANTUM,
                  interpret: bool | None = None, Prepared=None, **_):
-    P = csr_to_pell(A)
+    P = csr_to_pell(A, quantum=quantum)
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n,
                                 vals=P.vals, lcol=P.lcol, panel=P.panel,
@@ -176,7 +311,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.hbm_bytes,
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
-                          "chunk": chunk})
+                          "chunk": chunk, "quantum": quantum})
 
 
 def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
@@ -200,9 +335,16 @@ def register_all(register, StrategySpec, Prepared):
     register(StrategySpec(
         "pallas-pell", "PELL", "pallas",
         "cuda_hll.cu:80-104 (warp-per-block) + cuda_csr.cu:145-178 "
-        "(texture-resident x)",
+        "(texture-resident x); quantum axis ~ halfwarp/warp width "
+        "(cuda_csr.cu:62-90)",
         prepare=functools.partial(prepare_pell, Prepared=Prepared)))
     register(StrategySpec(
         "pallas-bcsr", "BCSR", "pallas",
         "cuda_csr.cu:96-140 (block-per-row cooperative tiles)",
         prepare=functools.partial(prepare_bcsr, Prepared=Prepared)))
+    register(StrategySpec(
+        "pallas-bcsr-spmm", "BCSR", "pallas",
+        "no reference analog (single-vector only); BASELINE.json "
+        "config 3: multi-vector SpMM through the MXU",
+        prepare=functools.partial(prepare_bcsr_spmm, Prepared=Prepared),
+        spmm=True))

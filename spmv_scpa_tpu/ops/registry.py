@@ -61,6 +61,10 @@ class Prepared:
     # layer embeds raw in an in-jit timing loop (bench/timing.py).
     raw: Callable[..., Any] | None = None
     args: tuple = ()
+    # Optional input packer (host x -> device input, e.g. df64 hi/lo
+    # stacking) and output post-processor (device out -> np y).
+    prep_x: Callable[[Any], Any] | None = None
+    post: Callable[[Any], Any] | None = None
     # Bytes the kernel must stream from HBM per call (matrix data only,
     # excluding x/y), for roofline accounting. 0 if unknown.
     hbm_bytes: int = 0
@@ -116,13 +120,15 @@ def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
     return np.asarray(y, dtype=np.float64)
 
 
-def bind(raw, args):
+def bind(raw, args, prep_x=None, post=None):
     """jit ``raw`` and bind its device-array args → ``fn(x)``."""
     import jax
     jitted = jax.jit(raw)
 
     def fn(x):
-        return jitted(x, *args)
+        xin = prep_x(x) if prep_x else x
+        out = jitted(xin, *args)
+        return post(out) if post else out
 
     return fn
 
@@ -211,6 +217,24 @@ def _ensure_builtin():
     register(StrategySpec("xla-ell-cm", "HLL", "xla",
                           "cuda_hll.cu:49-72 (col-major)",
                           prepare=lambda A, **kw: _prep_xla_ell(A, True, **kw)))
+    def _prep_xla_ell_df64(A: CSR, slice_h: int = 32, **_):
+        E = csr_to_ell(A, slice_h=slice_h, col_major=True,
+                       pad_mode="last")
+        U = E.to_uniform()
+        raw, args, prep_x, post = xla_ops.make_ell_df64(U)
+        return Prepared("xla-ell-df64", A.name,
+                        bind(raw, args, prep_x, post),
+                        on_device=True, nnz=A.nnz, raw=raw, args=args,
+                        prep_x=prep_x, post=post,
+                        hbm_bytes=U.ja.size * 12,
+                        meta={"num_blocks": E.num_slices,
+                              "rtol": 1e-9,
+                              "fill": A.nnz / max(U.ja.size, 1)})
+
+    register(StrategySpec("xla-ell-df64", "HLL", "xla",
+                          "fp64-equivalence knob (BASELINE.json; "
+                          "reference computes in native fp64, csr.h:12)",
+                          prepare=_prep_xla_ell_df64))
     register(StrategySpec("xla-dense", "DENSE", "xla",
                           "tiny-matrix regime (SURVEY.md section 6)",
                           prepare=_prep_xla_dense))

@@ -11,7 +11,10 @@ from spmv_scpa_tpu.utils.validation import validate_result
 from spmv_scpa_tpu.utils.vector import make_x
 
 
-ALL_STRATEGIES = sorted(set(list_strategies()))
+# spmm-only strategies take (n, c) inputs — tested separately
+ALL_STRATEGIES = sorted(
+    s for s in set(list_strategies()) if not get_strategy(s).spmm
+    or s == "xla-csr-segsum")
 
 
 @pytest.mark.parametrize("strategy", ALL_STRATEGIES)
@@ -87,3 +90,26 @@ def test_validation_rejects_garbage():
         validate_result(expected, expected[:-1])
     # within reference absolute epsilon (utils.c:53) passes
     validate_result(expected, expected + 1e-4)
+
+
+def test_df64_matches_oracle_tight():
+    """df64 strategy must hit ~1e-9 relative error vs the fp64 oracle
+    (plain f32 sits at ~1e-7) — the fp64-equivalence knob."""
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.utils.validation import l2_error
+    A = synth.banded_csr(300, row_nnz=13, bandwidth=64, runs=3, seed=21)
+    x = make_x(A.n)
+    gold = spmv_oracle(A, x)
+    prep = get_strategy("xla-ell-df64").prepare(A)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    rel = l2_error(gold, got) / np.linalg.norm(gold)
+    assert rel < 1e-9, rel
+
+
+def test_bcsr_spmm_matches_oracle():
+    from spmv_scpa_tpu import testing as synth
+    A = synth.banded_csr(200, 300, row_nnz=11, bandwidth=48, runs=3, seed=5)
+    X = make_x(A.n, cols=8)
+    prep = get_strategy("pallas-bcsr-spmm").prepare(A, cols=8, chunk=4)
+    got = np.asarray(prep.fn(X), dtype=np.float64)
+    validate_result(spmm_oracle(A, X), got, what="bcsr-spmm")
