@@ -64,6 +64,19 @@ class PanelEll:
     lcol: np.ndarray     # (T, 8, 128) int32, values in [0, 128)
     panel: np.ndarray    # (T,) int32
     rowblk: np.ndarray   # (T, nq) int32; mb = dump block for padding
+    # Window grouping for the scatter-free epilogue
+    # (ops/segsum_kernel.py): window w covers 8-row blocks
+    # [w*window_h, (w+1)*window_h); tiles are window-grouped and padded
+    # so every ``chunk_align`` consecutive tiles share a window.
+    window_h: int = 0
+    chunk_align: int = 1
+    window: np.ndarray | None = None   # (T,) int32, non-decreasing
+    rbl: np.ndarray | None = None      # (T, nq) int32 window-local;
+                                       # window_h == padding sentinel
+
+    @property
+    def num_windows(self) -> int:
+        return -(-self.num_row_blocks // max(self.window_h, 1))
 
     @property
     def nq(self) -> int:
@@ -107,28 +120,46 @@ class PanelEll:
         return out
 
 
-def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM) -> PanelEll:
+DEFAULT_WINDOW_H = 64    # 8-row blocks per epilogue window (512 rows)
+DEFAULT_CHUNK_ALIGN = 16  # tiles-per-grid-step alignment within windows
+
+
+def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
+                window_h: int = DEFAULT_WINDOW_H,
+                chunk_align: int = DEFAULT_CHUNK_ALIGN) -> PanelEll:
     """Convert CSR → PELL (vectorized single pass).
 
     Spiritual port of ``csr_to_hll`` (hll.c:19-95): instead of padding
     each 32-row block to its max row length, each (8-row, 128-col
     panel) bucket is padded to a multiple of ``quantum`` slots; buckets
-    sharing a panel pack into tiles quantum-by-quantum (straddling tile
-    boundaries freely — metadata is per quantum, not per bucket).
+    sharing a (window, panel) group pack into tiles
+    quantum-by-quantum, straddling tile boundaries freely — metadata is
+    per quantum, not per bucket.
+
+    Tiles come out grouped by row-block *window* (``window_h`` 8-row
+    blocks each) and each window's tile count is padded to a multiple
+    of ``chunk_align`` — so both the SpMV kernel's grid steps and the
+    windowed segment-sum epilogue see window-pure steps
+    (ops/segsum_kernel.py).
     """
     if BC % quantum != 0:
         raise ValueError(f"quantum must divide {BC}")
     nq = BC // quantum
     mb = (A.m + BR - 1) // BR
+    num_win = max(1, -(-mb // window_h))
     rows = A.row_ids().astype(np.int64)
     cols = A.ja.astype(np.int64)
     nnz = rows.shape[0]
     if nnz == 0:
+        t0 = chunk_align
         return PanelEll(A.name, A.m, A.n, 0, quantum,
-                        np.zeros((1, BR, BC)),
-                        np.zeros((1, BR, BC), np.int32),
-                        np.zeros(1, np.int32),
-                        np.full((1, nq), mb, np.int32))
+                        np.zeros((t0, BR, BC)),
+                        np.zeros((t0, BR, BC), np.int32),
+                        np.zeros(t0, np.int32),
+                        np.full((t0, nq), mb, np.int32),
+                        window_h=window_h, chunk_align=chunk_align,
+                        window=np.zeros(t0, np.int32),
+                        rbl=np.full((t0, nq), window_h, np.int32))
 
     pn = cols // BC
     rb = rows // BR
@@ -140,46 +171,65 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM) -> PanelEll:
     run_start[1:] = (rows[1:] != rows[:-1]) | (pn[1:] != pn[:-1])
     s = idx - np.maximum.accumulate(np.where(run_start, idx, -1))
 
-    # --- buckets: (rowblock, panel) ---
+    # --- buckets: (rowblock, panel); groups: (window, panel) ---
     bkey = rb * npan + pn
     b_uniq, bucket_of = np.unique(bkey, return_inverse=True)
     nb = b_uniq.shape[0]
     b_rb = (b_uniq // npan).astype(np.int64)
     b_pn = (b_uniq % npan).astype(np.int64)
+    b_win = b_rb // window_h
     b_maxc = np.zeros(nb, dtype=np.int64)
     np.maximum.at(b_maxc, bucket_of, s + 1)
     b_quanta = -(-b_maxc // quantum)
 
-    # --- pack buckets panel-by-panel (order: panel, then rowblock) ---
-    order = np.lexsort((b_rb, b_pn))
+    # --- pack buckets in (window, panel, rowblock) order ---
+    order = np.lexsort((b_rb, b_pn, b_win))
     q_end = np.cumsum(b_quanta[order])
-    # panel boundaries in the ordered bucket list
-    pn_sorted = b_pn[order]
-    panel_change = np.ones(nb, dtype=bool)
-    panel_change[1:] = pn_sorted[1:] != pn_sorted[:-1]
-    panel_start_qend = np.where(panel_change, q_end - b_quanta[order], 0)
-    panel_base = np.maximum.accumulate(
-        np.where(panel_change, panel_start_qend, -1))
-    g0_sorted = (q_end - b_quanta[order]) - panel_base   # within-panel
+    gkey_sorted = (b_win * npan + b_pn)[order]
+    g_change = np.ones(nb, dtype=bool)
+    g_change[1:] = gkey_sorted[1:] != gkey_sorted[:-1]
+    group_start_qend = np.where(g_change, q_end - b_quanta[order], 0)
+    group_base = np.maximum.accumulate(
+        np.where(g_change, group_start_qend, -1))
+    g0_sorted = (q_end - b_quanta[order]) - group_base   # within-group
 
-    # per-panel totals → tiles per panel → global tile bases
-    pan_ids = pn_sorted[panel_change]
-    pan_total = np.diff(np.concatenate(
-        [q_end[panel_change] - b_quanta[order][panel_change],
-         [q_end[-1]]]))
-    pan_tiles = -(-pan_total // nq)
-    tile_base = np.zeros(pan_ids.shape[0], dtype=np.int64)
-    np.cumsum(pan_tiles[:-1], out=tile_base[1:])
-    T = int(pan_tiles.sum())
+    # per-group totals → tiles per group
+    grp_win = b_win[order][g_change]
+    grp_pn = b_pn[order][g_change]
+    grp_total = np.diff(np.concatenate(
+        [q_end[g_change] - b_quanta[order][g_change], [q_end[-1]]]))
+    grp_tiles = -(-grp_total // nq)
+    ng = grp_tiles.shape[0]
+
+    # tiles per window (+ padding to chunk_align multiples)
+    win_tiles = np.zeros(num_win, dtype=np.int64)
+    np.add.at(win_tiles, grp_win, grp_tiles)
+    win_tiles_pad = -(-np.maximum(win_tiles, 0) // chunk_align) * chunk_align
+    win_base = np.zeros(num_win, dtype=np.int64)
+    np.cumsum(win_tiles_pad[:-1], out=win_base[1:])
+    T = int(win_tiles_pad.sum())
+    if T == 0:
+        T = chunk_align
+        win_tiles_pad[0] = chunk_align
+
+    # group tile bases: window base + cumsum of group tiles within window
+    grp_cum = np.cumsum(grp_tiles) - grp_tiles
+    win_first_cum = np.zeros(num_win, dtype=np.int64)
+    first_of_win = np.ones(ng, dtype=bool)
+    first_of_win[1:] = grp_win[1:] != grp_win[:-1]
+    win_first_cum[grp_win[first_of_win]] = grp_cum[first_of_win]
+    grp_tile_base = win_base[grp_win] + (grp_cum - win_first_cum[grp_win])
 
     # map arrays back to original bucket indexing
     g0 = np.empty(nb, dtype=np.int64)
     g0[order] = g0_sorted
-    pan_slot = np.searchsorted(pan_ids, b_pn)       # panel → dense id
-    b_tile_base = tile_base[pan_slot]
+    grp_of_sorted = np.cumsum(g_change) - 1
+    grp_of = np.empty(nb, dtype=np.int64)
+    grp_of[order] = grp_of_sorted
+    b_tile_base = grp_tile_base[grp_of]
 
     # --- per-nonzero placement ---
-    G = g0[bucket_of] + s // quantum                # within-panel quantum
+    G = g0[bucket_of] + s // quantum                # within-group quantum
     tile = b_tile_base[bucket_of] + G // nq
     lane = (G % nq) * quantum + s % quantum
     ri = rows % BR
@@ -189,8 +239,9 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM) -> PanelEll:
     out_vals[tile, ri, lane] = A.as_
     out_lcol[tile, ri, lane] = (cols % BC).astype(np.int32)
 
-    # --- per-quantum rowblk metadata ---
+    # --- per-quantum rowblk metadata (global + window-local) ---
     rowblk = np.full((T, nq), mb, dtype=np.int32)
+    rbl = np.full((T, nq), window_h, dtype=np.int32)
     reps = b_quanta                                  # quanta per bucket
     bq_bucket = np.repeat(np.arange(nb), reps)
     intra = np.arange(reps.sum()) - np.repeat(
@@ -198,10 +249,18 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM) -> PanelEll:
     Gq = g0[bq_bucket] + intra
     tq = b_tile_base[bq_bucket] + Gq // nq
     rowblk[tq, Gq % nq] = b_rb[bq_bucket]
+    rbl[tq, Gq % nq] = (b_rb - b_win * window_h)[bq_bucket]
 
-    # --- per-tile panel ---
-    panel = np.repeat(pan_ids, pan_tiles).astype(np.int32)
+    # --- per-tile panel + window ---
+    panel = np.zeros(T, dtype=np.int32)
+    panel[np.repeat(grp_tile_base, grp_tiles)
+          + (np.arange(int(grp_tiles.sum()))
+             - np.repeat(np.cumsum(grp_tiles) - grp_tiles, grp_tiles))] = \
+        np.repeat(grp_pn, grp_tiles).astype(np.int32)
+    window = np.repeat(np.arange(num_win, dtype=np.int32), win_tiles_pad)
 
     return PanelEll(A.name, A.m, A.n, nnz, quantum,
                     vals=out_vals, lcol=out_lcol,
-                    panel=panel, rowblk=rowblk)
+                    panel=panel, rowblk=rowblk,
+                    window_h=window_h, chunk_align=chunk_align,
+                    window=window, rbl=rbl)

@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from spmv_scpa_tpu.formats.bcsr import csr_to_bcsr
 from spmv_scpa_tpu.formats.csr import CSR
 from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
-                                             csr_to_pell)
+                                             DEFAULT_WINDOW_H, csr_to_pell)
+from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
 
 DEFAULT_CHUNK = 32           # tiles per grid step (tunable sweep axis)
 X_VMEM_BUDGET = 12 << 20     # max bytes of x kept resident in VMEM
@@ -103,25 +104,60 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
     return kernel
 
 
-def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
-                    lcol: np.ndarray | None, panel: np.ndarray,
-                    rowblk: np.ndarray, dtype, chunk: int,
-                    interpret: bool | None):
-    """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
-
-    Builds a raw traceable ``fn(x[n], *args) -> y[m]``: Pallas tile
-    pass producing per-quantum 8-row partials, then an XLA segment-sum
-    epilogue over the quantum row-block ids. ``rowblk`` has shape
-    (T, nq) — the 8-row block fed by each lane quantum.
-    """
-    if interpret is None:
-        interpret = _auto_interpret()
+def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int):
+    """Insert dummy tiles so each row-block window's tile count is a
+    multiple of ``chunk`` (tiles must already be in row-block order —
+    true for BCSR). Returns (vals, panel, window, rbl)."""
+    T = vals.shape[0]
     if rowblk.ndim == 1:
         rowblk = rowblk[:, None]
     nq = rowblk.shape[1]
+    win_of = rowblk[:, 0] // window_h
+    num_win = int(win_of.max(initial=0)) + 1
+    counts = np.zeros(num_win, dtype=np.int64)
+    np.add.at(counts, win_of, 1)
+    counts_pad = -(-counts // chunk) * chunk
+    base = np.zeros(num_win, dtype=np.int64)
+    np.cumsum(counts_pad[:-1], out=base[1:])
+    t_new = int(counts_pad.sum())
+    # position of each old tile in the padded layout
+    within = np.arange(T) - (np.cumsum(counts) - counts)[win_of]
+    pos = base[win_of] + within
+    out_vals = np.zeros((t_new,) + vals.shape[1:], dtype=vals.dtype)
+    out_panel = np.zeros(t_new, dtype=np.int32)
+    out_rbl = np.full((t_new, nq), window_h, dtype=np.int32)
+    out_vals[pos] = vals
+    out_panel[pos] = panel
+    out_rbl[pos] = rowblk - (win_of * window_h)[:, None]
+    window = np.repeat(np.arange(num_win, dtype=np.int32), counts_pad)
+    return out_vals, out_panel, window, out_rbl
+
+
+def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
+                    lcol: np.ndarray | None, panel: np.ndarray,
+                    rbl: np.ndarray, window: np.ndarray, window_h: int,
+                    dtype, chunk: int, interpret: bool | None):
+    """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
+
+    Builds a raw traceable ``fn(x[n], *args) -> y[m]``: the Pallas tile
+    pass produces per-quantum 8-row partials, and the windowed one-hot
+    segment-sum kernel (ops/segsum_kernel.py) reduces them into y — no
+    XLA gather/scatter anywhere (both are near-scalar on TPU).
+
+    Preconditions (guaranteed by the format packers): tile count is a
+    multiple of ``chunk``; every ``chunk`` consecutive tiles share a
+    window (``window`` non-decreasing); ``rbl`` holds window-local
+    8-row block ids with ``window_h`` as the padding sentinel.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    if rbl.ndim == 1:
+        rbl = rbl[:, None]
+    nq = rbl.shape[1]
     T = vals.shape[0]
-    t_pad = max(chunk, -(-T // chunk) * chunk)
+    assert T % chunk == 0, (name, T, chunk)
     mb = (m + BR - 1) // BR
+    num_win = int(window.max(initial=0)) + 1
     p_rows = max(1, -(-n // BC))
 
     x_bytes = p_rows * BC * jnp.dtype(dtype).itemsize
@@ -130,12 +166,15 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
             f"{name}: x ({x_bytes} B) exceeds VMEM budget {X_VMEM_BUDGET} B;"
             " use an XLA strategy for this matrix")
 
+    win_of_step = window[::chunk]
+    assert (window.reshape(-1, chunk) ==
+            win_of_step[:, None]).all(), f"{name}: steps not window-pure"
+
     gathered = lcol is not None
     vals_d = jax.device_put(
-        jnp.asarray(_pad_tiles(vals, t_pad).reshape(t_pad * BR, BC), dtype))
-    pan_d = jax.device_put(jnp.asarray(_pad_tiles(panel, t_pad), jnp.int32))
-    rb_d = jax.device_put(jnp.asarray(
-        _pad_tiles(rowblk, t_pad, fill=mb).reshape(-1), jnp.int32))
+        jnp.asarray(vals.reshape(T * BR, BC), dtype))
+    pan_d = jax.device_put(jnp.asarray(panel, jnp.int32))
+    rbl_d = jax.device_put(jnp.asarray(rbl.reshape(-1), jnp.int32))
     # index maps take (grid idx, *prefetched scalar refs)
     tile_map = lambda i, pan: (i, 0)  # noqa: E731
     inputs = [vals_d]
@@ -143,15 +182,14 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                              memory_space=pltpu.VMEM)]
     if gathered:
         lcol_d = jax.device_put(
-            jnp.asarray(_pad_tiles(lcol, t_pad).reshape(t_pad * BR, BC),
-                        jnp.int32))
+            jnp.asarray(lcol.reshape(T * BR, BC), jnp.int32))
         inputs.append(lcol_d)
         in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
                                      memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_pad // chunk,),
+        grid=(T // chunk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs,
         out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
                                memory_space=pltpu.VMEM),
@@ -162,33 +200,31 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     call = pl.pallas_call(
         _tile_kernel(chunk, gathered, nq),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad * BR, nq), dtype),
+        out_shape=jax.ShapeDtypeStruct((T * BR, nq), dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_pad * BR * BC,
+            flops=2 * T * BR * BC,
             bytes_accessed=int(vals_d.size * (8 if gathered else 4)
                                + x_bytes),
             transcendentals=0,
         ),
         interpret=interpret,
     )
-    # With one quantum per tile (BCSR / quantum=128 PELL) tiles are
-    # emitted in row-block order → sorted segment ids; multi-quantum
-    # tiles interleave row blocks → unsorted scatter-add epilogue.
-    seg_sorted = nq == 1
+    segsum = make_window_segsum(
+        win_of_step=win_of_step, num_windows=num_win, h=window_h,
+        chunk_rows=chunk * nq, total_rows=T * nq, dtype=dtype,
+        interpret=interpret)
 
-    def raw(x, pan, rb, *tiles):
+    def raw(x, pan, rbl_a, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
-        partials = call(pan, xp, *tiles)             # (t_pad*8, nq)
-        # (t_pad, 8, nq) -> (t_pad*nq, 8) matching rb layout (T, nq)
-        per_q = partials.reshape(t_pad, BR, nq).transpose(0, 2, 1)
-        y = jax.ops.segment_sum(per_q.reshape(t_pad * nq, BR), rb,
-                                num_segments=mb + 1,
-                                indices_are_sorted=seg_sorted)
-        return y[:mb].reshape(-1)[:m]
+        partials = call(pan, xp, *tiles)             # (T*8, nq)
+        # (T, 8, nq) -> (T*nq, 8) matching rbl layout (T, nq)
+        per_q = partials.reshape(T, BR, nq).transpose(0, 2, 1)
+        y = segsum(per_q.reshape(T * nq, BR), rbl_a)  # (num_win*h, 8)
+        return y.reshape(-1)[:m]
 
-    return raw, (pan_d, rb_d, *inputs)
+    return raw, (pan_d, rbl_d, *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -300,35 +336,43 @@ def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
 
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
+                 window_h: int = DEFAULT_WINDOW_H,
                  interpret: bool | None = None, Prepared=None, **_):
-    P = csr_to_pell(A, quantum=quantum)
+    P = csr_to_pell(A, quantum=quantum, window_h=window_h,
+                    chunk_align=chunk)
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n,
                                 vals=P.vals, lcol=P.lcol, panel=P.panel,
-                                rowblk=P.rowblk, dtype=dtype, chunk=chunk,
-                                interpret=interpret)
+                                rbl=P.rbl, window=P.window,
+                                window_h=window_h, dtype=dtype,
+                                chunk=chunk, interpret=interpret)
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.hbm_bytes,
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
-                          "chunk": chunk, "quantum": quantum})
+                          "chunk": chunk, "quantum": quantum,
+                          "window_h": window_h})
 
 
 def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
+                 window_h: int = DEFAULT_WINDOW_H,
                  interpret: bool | None = None, Prepared=None, **_):
     B = csr_to_bcsr(A, br=BR, bc=BC)
     rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
                        np.diff(B.rowptr))
+    vals, panel, window, rbl = _window_pad_tiles(
+        B.vals, B.col_panel, rowblk, window_h, chunk)
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-bcsr", m=A.m, n=A.n,
-                                vals=B.vals, lcol=None, panel=B.col_panel,
-                                rowblk=rowblk, dtype=dtype, chunk=chunk,
+                                vals=vals, lcol=None, panel=panel,
+                                rbl=rbl, window=window, window_h=window_h,
+                                dtype=dtype, chunk=chunk,
                                 interpret=interpret)
     return Prepared("pallas-bcsr", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
-                    hbm_bytes=B.padded_bytes,
+                    hbm_bytes=vals.shape[0] * BR * BC * 4,
                     meta={"num_blocks": B.num_tiles, "fill": B.fill,
-                          "chunk": chunk})
+                          "chunk": chunk, "window_h": window_h})
 
 
 def register_all(register, StrategySpec, Prepared):
