@@ -30,8 +30,10 @@ Strategy-name mapping to the reference (SURVEY.md section 2 table):
  pallas-pell            CUDA HLL k2 warp-per-block + k4 texture-x:
                         panel-local ELL slots, x resident in VMEM
                         (cuda_hll.cu:80-104, cuda_csr.cu:145-178)
- pallas-sell            OMP HLL block-per-thread: SELL slices over a
-                        Pallas grid (hll.c:178-211)
+ xla-ell-df64           fp64-equivalence via double-float arithmetic
+                        (the reference computes natively in fp64)
+ pallas-bcsr-spmm       multi-vector SpMM through the MXU (no reference
+                        analog; BASELINE.json config 3)
 =====================  =====================================================
 """
 
@@ -134,12 +136,15 @@ def bind(raw, args, prep_x=None, post=None):
 
 
 def pick_auto(A: CSR) -> str:
-    """Heuristic strategy choice: Pallas panel-ELL on TPU for matrices
-    whose x fits VMEM, XLA segment-sum otherwise."""
+    """Heuristic strategy choice. On TPU the Pallas paths are the only
+    performant ones (XLA gather/scatter lower to near-scalar loops —
+    measured ~0.1-0.3 GFLOPS); PELL handles every matrix whose x fits
+    the VMEM budget. On CPU backends XLA segment-sum is fine."""
     from spmv_scpa_tpu.utils.platform import is_tpu
     if not is_tpu():
         return "xla-csr-segsum"
-    if A.n <= 1 << 20 and A.m <= 1 << 20:
+    from spmv_scpa_tpu.ops.pallas_kernels import X_VMEM_BUDGET
+    if A.n * 4 <= X_VMEM_BUDGET:
         return "pallas-pell"
     return "xla-csr-segsum"
 

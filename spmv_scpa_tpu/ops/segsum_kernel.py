@@ -48,6 +48,9 @@ def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
     steps = total_rows // chunk_rows
     assert win_of_step.shape == (steps,)
     win_d = jax.device_put(jnp.asarray(win_of_step, jnp.int32))
+    # Mosaic block tiling requires the sublane dim be a multiple of 8
+    # (or the whole array): rbl ships 8 steps of metadata per block.
+    steps_pad = -(-steps // 8) * 8
 
     def kernel(win_ref, rbl_ref, part_ref, out_ref):
         i = pl.program_id(0)
@@ -59,9 +62,9 @@ def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        rbl = rbl_ref[0, :]                                  # (chunk_rows,)
+        rbl = rbl_ref[pl.ds(i % 8, 1), :]                    # (1, G)
         hh = jax.lax.broadcasted_iota(jnp.int32, (h, chunk_rows), 0)
-        oh = (hh == rbl[None, :]).astype(part_ref.dtype)     # (h, G)
+        oh = (hh == rbl).astype(part_ref.dtype)              # (h, G)
         out_ref[:] += jax.lax.dot_general(
             oh, part_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -72,7 +75,7 @@ def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
         num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, chunk_rows), lambda i, win: (i, 0),
+            pl.BlockSpec((8, chunk_rows), lambda i, win: (i // 8, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk_rows, BR), lambda i, win: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -93,6 +96,9 @@ def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
     )
 
     def fn(partials, rbl):
-        return call(win_d, rbl.reshape(steps, chunk_rows), partials)
+        rbl2 = rbl.reshape(steps, chunk_rows)
+        if steps_pad != steps:
+            rbl2 = jnp.pad(rbl2, ((0, steps_pad - steps), (0, 0)))
+        return call(win_d, rbl2, partials)
 
     return fn

@@ -1,0 +1,69 @@
+"""Batch runner + plots smoke tests (the scripts layer)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_results_and_plots_end_to_end(tmp_path):
+    """One tiny synthetic through the in-process batch runner, then the
+    plot aggregator over the produced CSVs."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    out = str(tmp_path / "res")
+
+    from spmv_scpa_tpu.cli import main as cli_main
+    for it in range(2):
+        rc = cli_main(["-m", "synth:banded:m=96,row_nnz=5,bandwidth=16",
+                       "-o", out, "-b", "xla-csr-segsum,pallas-pell",
+                       "--chunks", "4"])
+        assert rc == 0
+
+    import pandas as pd
+    dev = pd.read_csv(os.path.join(out, "cuda.csv"))
+    assert len(dev) == 4  # 2 iterations x 2 strategies
+    assert set(dev["format"]) == {"CSR", "PELL"}
+
+    # plots.py over the result dir
+    import importlib
+    plots = importlib.import_module("plots")
+    plot_out = str(tmp_path / "plots")
+    os.makedirs(plot_out, exist_ok=True)
+    serial = plots._read(os.path.join(out, "serial.csv"))
+    devdf = plots._read(os.path.join(out, "cuda.csv"))
+    plots.plot_serial(serial, plot_out)
+    plots.plot_device(devdf, plot_out)
+    pngs = [f for f in os.listdir(plot_out) if f.endswith(".png")]
+    assert len(pngs) >= 3, pngs
+
+
+def test_download_script_list_parses():
+    """No network here — just check the suite list matches the
+    reference's 30 matrices (download-matrices.py:7-38)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import download_matrices as dm
+    assert len(dm.MATRICES) == 30
+    names = [n for _, n in dm.MATRICES]
+    for expect in ("cage4", "cant", "ML_Laplace", "webbase-1M",
+                   "nlpkkt80", "roadNet-PA", "dc1"):
+        assert expect in names
+
+
+def test_roofline_report_math():
+    from spmv_scpa_tpu.bench import roofline as R
+
+    class P:
+        hbm_bytes = 1000_000_000  # 1 GB
+
+    R._STREAM_CACHE["bw"] = 500.0  # pretend 500 GB/s, skip the probe
+    try:
+        rep = R.roofline(P(), duration_ms=4.0, gflops=10.0)
+        assert abs(rep.t_min_ms - 2.0) < 1e-9
+        assert abs(rep.fraction - 0.5) < 1e-9
+        assert abs(rep.gflops_at_roofline - 20.0) < 1e-9
+    finally:
+        R._STREAM_CACHE.clear()
