@@ -100,12 +100,23 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 continue
             chunks = cfg.chunks if spec.backend == "pallas" else (0,)
             for chunk in chunks:
-                try:
-                    kw = {"chunk": chunk} if chunk else {}
-                    prep = spec.prepare(A, **kw)
-                    r = time_prepared(prep, x)
-                except Exception as e:  # e.g. VMEM budget exceeded
-                    log.warning("%s (chunk=%s) skipped: %s", name, chunk, e)
+                r = None
+                for attempt in range(2):  # compile service can flake
+                    try:
+                        kw = {"chunk": chunk} if chunk else {}
+                        prep = spec.prepare(A, **kw)
+                        r = time_prepared(prep, x)
+                        break
+                    except ValidationError:
+                        raise
+                    except ValueError as e:  # e.g. VMEM budget exceeded
+                        log.warning("%s (chunk=%s) skipped: %s",
+                                    name, chunk, e)
+                        break
+                    except Exception as e:
+                        log.warning("%s (chunk=%s) attempt %d failed: %s",
+                                    name, chunk, attempt, e)
+                if r is None:
                     continue
                 rel = _check(cfg, golden, r.data, f"{name} chunk={chunk}",
                              rtol=prep.meta.get("rtol"))

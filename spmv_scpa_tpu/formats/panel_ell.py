@@ -120,13 +120,14 @@ class PanelEll:
         return out
 
 
-DEFAULT_WINDOW_H = 64    # 8-row blocks per epilogue window (512 rows)
+DEFAULT_WINDOW_H = 128   # 8-row blocks per epilogue window (1024 rows)
 DEFAULT_CHUNK_ALIGN = 16  # tiles-per-grid-step alignment within windows
 
 
 def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
                 window_h: int = DEFAULT_WINDOW_H,
-                chunk_align: int = DEFAULT_CHUNK_ALIGN) -> PanelEll:
+                chunk_align: int = DEFAULT_CHUNK_ALIGN,
+                min_chunk_align: int = 1) -> PanelEll:
     """Convert CSR → PELL (vectorized single pass).
 
     Spiritual port of ``csr_to_hll`` (hll.c:19-95): instead of padding
@@ -201,9 +202,20 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
     grp_tiles = -(-grp_total // nq)
     ng = grp_tiles.shape[0]
 
-    # tiles per window (+ padding to chunk_align multiples)
+    # tiles per window (+ padding to chunk_align multiples). The
+    # requested alignment is a maximum: shrink (by powers of two, not
+    # below 1) until window-padding waste stays under ~10% — epilogue
+    # block size trades against fill.
     win_tiles = np.zeros(num_win, dtype=np.int64)
     np.add.at(win_tiles, grp_win, grp_tiles)
+    total_t = max(int(win_tiles.sum()), 1)
+    while chunk_align > min_chunk_align:
+        waste = int((-(-win_tiles // chunk_align) * chunk_align
+                     - win_tiles).sum())
+        if waste <= 0.1 * total_t:
+            break
+        chunk_align //= 2
+    chunk_align = max(chunk_align, min_chunk_align)
     win_tiles_pad = -(-np.maximum(win_tiles, 0) // chunk_align) * chunk_align
     win_base = np.zeros(num_win, dtype=np.int64)
     np.cumsum(win_tiles_pad[:-1], out=win_base[1:])
@@ -262,5 +274,5 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
     return PanelEll(A.name, A.m, A.n, nnz, quantum,
                     vals=out_vals, lcol=out_lcol,
                     panel=panel, rowblk=rowblk,
-                    window_h=window_h, chunk_align=chunk_align,
+                    window_h=window_h, chunk_align=int(chunk_align),
                     window=window, rbl=rbl)

@@ -82,12 +82,16 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
         t0 = pl.program_id(0) * chunk
 
         for c in range(chunk):  # unrolled: c is static
-            p = pan_ref[t0 + c]
-            xg_ref[c * BR:(c + 1) * BR, :] = jnp.broadcast_to(
-                x_ref[pl.ds(p, 1), :], (BR, BC))
-        xv = xg_ref[:]
+            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[t0 + c], 1), :]
+        # (chunk,128) panel rows -> (chunk*8,128): one sublane-broadcast
+        # reshape instead of chunk per-tile broadcasts
+        xv = jnp.broadcast_to(xg_ref[:][:, None, :],
+                              (chunk, BR, BC)).reshape(chunk * BR, BC)
         if gathered:
-            xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
+            li = lcol_ref[:]
+            if li.dtype != jnp.int32:
+                li = li.astype(jnp.int32)
+            xv = jnp.take_along_axis(xv, li, axis=1)
         prod = vals_ref[:] * xv
         lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
         seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
@@ -104,10 +108,13 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
     return kernel
 
 
-def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int):
+def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int,
+                      min_chunk: int | None = None):
     """Insert dummy tiles so each row-block window's tile count is a
     multiple of ``chunk`` (tiles must already be in row-block order —
-    true for BCSR). Returns (vals, panel, window, rbl)."""
+    true for BCSR); ``chunk`` shrinks by powers of two toward
+    ``min_chunk`` while padding waste exceeds ~10%.
+    Returns (vals, panel, window, rbl, chunk)."""
     T = vals.shape[0]
     if rowblk.ndim == 1:
         rowblk = rowblk[:, None]
@@ -116,6 +123,13 @@ def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int):
     num_win = int(win_of.max(initial=0)) + 1
     counts = np.zeros(num_win, dtype=np.int64)
     np.add.at(counts, win_of, 1)
+    min_chunk = min_chunk or chunk
+    while chunk > min_chunk:
+        waste = int((-(-counts // chunk) * chunk - counts).sum())
+        if waste <= 0.1 * max(T, 1):
+            break
+        chunk //= 2
+    chunk = max(chunk, min_chunk)
     counts_pad = -(-counts // chunk) * chunk
     base = np.zeros(num_win, dtype=np.int64)
     np.cumsum(counts_pad[:-1], out=base[1:])
@@ -130,13 +144,14 @@ def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int):
     out_panel[pos] = panel
     out_rbl[pos] = rowblk - (win_of * window_h)[:, None]
     window = np.repeat(np.arange(num_win, dtype=np.int32), counts_pad)
-    return out_vals, out_panel, window, out_rbl
+    return out_vals, out_panel, window, out_rbl, chunk
 
 
 def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     lcol: np.ndarray | None, panel: np.ndarray,
                     rbl: np.ndarray, window: np.ndarray, window_h: int,
-                    dtype, chunk: int, interpret: bool | None):
+                    dtype, chunk: int, interpret: bool | None,
+                    epilogue_sub: int = 8):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
     Builds a raw traceable ``fn(x[n], *args) -> y[m]``: the Pallas tile
@@ -181,8 +196,13 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     in_specs = [pl.BlockSpec((chunk * BR, BC), tile_map,
                              memory_space=pltpu.VMEM)]
     if gathered:
+        # panel-local columns fit int8 (0..127): 5 B/slot instead of 8.
+        # int8 sublane tiling is 32, so the block sublane count
+        # (chunk*8) must divide by 32 — fall back to int32 otherwise.
+        idx_dt = jnp.int8 if (chunk * BR) % 32 == 0 and not interpret \
+            else jnp.int32
         lcol_d = jax.device_put(
-            jnp.asarray(lcol.reshape(T * BR, BC), jnp.int32))
+            jnp.asarray(lcol.reshape(T * BR, BC), idx_dt))
         inputs.append(lcol_d)
         in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
                                      memory_space=pltpu.VMEM))
@@ -193,7 +213,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs,
         out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((chunk * BR, BC), dtype)],
+        scratch_shapes=[pltpu.VMEM((chunk, BC), dtype)],
     )
     vmem_limit = min(
         int(x_bytes + 4 * chunk * BR * BC * 8 + (2 << 20)), 100 << 20)
@@ -210,9 +230,19 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         ),
         interpret=interpret,
     )
+    # The epilogue kernel can stream several SpMV-grid-steps worth of
+    # partials per step (bigger blocks, fewer steps) as long as its
+    # steps stay window-pure: shrink the factor until it divides the
+    # window-pure step pattern.
+    sub = epilogue_sub
+    while sub > 1 and (
+            len(win_of_step) % sub != 0
+            or not (win_of_step.reshape(-1, sub)
+                    == win_of_step.reshape(-1, sub)[:, :1]).all()):
+        sub //= 2
     segsum = make_window_segsum(
-        win_of_step=win_of_step, num_windows=num_win, h=window_h,
-        chunk_rows=chunk * nq, total_rows=T * nq, dtype=dtype,
+        win_of_step=win_of_step[::sub], num_windows=num_win, h=window_h,
+        chunk_rows=sub * chunk * nq, total_rows=T * nq, dtype=dtype,
         interpret=interpret)
 
     def raw(x, pan, rbl_a, *tiles):
@@ -337,15 +367,18 @@ def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
                  window_h: int = DEFAULT_WINDOW_H,
+                 epilogue_sub: int = 4,
                  interpret: bool | None = None, Prepared=None, **_):
     P = csr_to_pell(A, quantum=quantum, window_h=window_h,
-                    chunk_align=chunk)
+                    chunk_align=chunk * epilogue_sub,
+                    min_chunk_align=chunk)
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n,
                                 vals=P.vals, lcol=P.lcol, panel=P.panel,
                                 rbl=P.rbl, window=P.window,
                                 window_h=window_h, dtype=dtype,
-                                chunk=chunk, interpret=interpret)
+                                chunk=chunk, interpret=interpret,
+                                epilogue_sub=epilogue_sub)
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.hbm_bytes,
@@ -360,14 +393,14 @@ def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     B = csr_to_bcsr(A, br=BR, bc=BC)
     rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
                        np.diff(B.rowptr))
-    vals, panel, window, rbl = _window_pad_tiles(
-        B.vals, B.col_panel, rowblk, window_h, chunk)
+    vals, panel, window, rbl, _ = _window_pad_tiles(
+        B.vals, B.col_panel, rowblk, window_h, chunk * 4, min_chunk=chunk)
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-bcsr", m=A.m, n=A.n,
                                 vals=vals, lcol=None, panel=panel,
                                 rbl=rbl, window=window, window_h=window_h,
                                 dtype=dtype, chunk=chunk,
-                                interpret=interpret)
+                                interpret=interpret, epilogue_sub=4)
     return Prepared("pallas-bcsr", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=vals.shape[0] * BR * BC * 4,
