@@ -95,15 +95,23 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
         prod = vals_ref[:] * xv
         lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
         seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
-        seg_mat = (lane // q == seg).astype(prod.dtype)
-        # HIGHEST precision: the default MXU f32 path rounds operands
-        # to bf16 (one pass), costing ~1e-3 relative error; HIGHEST
-        # uses the multi-pass f32 emulation. The seg_mat operand is
-        # exactly representable either way; the products are not.
-        out_ref[:] = jax.lax.dot_general(
-            prod, seg_mat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
+        seg_mat = (lane // q == seg).astype(jnp.bfloat16)  # 0/1: exact
+        # f32-grade MXU reduction via manual bf16x3 split of the
+        # products (the default f32 path is one bf16 pass ~1.7e-3 rel
+        # err; Precision.HIGHEST costs 6 passes; this costs 3 —
+        # see ops/segsum_kernel.dot_f32_via_bf16x3).
+        p1 = prod.astype(jnp.bfloat16)
+        r1 = prod - p1.astype(jnp.float32)
+        p2 = r1.astype(jnp.bfloat16)
+        p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+
+        def dot(x):
+            return jax.lax.dot_general(
+                x, seg_mat, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        out_ref[:] = (dot(p1) + dot(p2) + dot(p3)).astype(out_ref.dtype)
 
     return kernel
 
@@ -151,7 +159,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     lcol: np.ndarray | None, panel: np.ndarray,
                     rbl: np.ndarray, window: np.ndarray, window_h: int,
                     dtype, chunk: int, interpret: bool | None,
-                    epilogue_sub: int = 8):
+                    epilogue_sub: int = 8, idx_dtype=None):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
     Builds a raw traceable ``fn(x[n], *args) -> y[m]``: the Pallas tile
@@ -199,8 +207,9 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         # panel-local columns fit int8 (0..127): 5 B/slot instead of 8.
         # int8 sublane tiling is 32, so the block sublane count
         # (chunk*8) must divide by 32 — fall back to int32 otherwise.
-        idx_dt = jnp.int8 if (chunk * BR) % 32 == 0 and not interpret \
-            else jnp.int32
+        idx_dt = idx_dtype or (
+            jnp.int8 if (chunk * BR) % 32 == 0 and not interpret
+            else jnp.int32)
         lcol_d = jax.device_put(
             jnp.asarray(lcol.reshape(T * BR, BC), idx_dt))
         inputs.append(lcol_d)
@@ -242,16 +251,14 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         sub //= 2
     segsum = make_window_segsum(
         win_of_step=win_of_step[::sub], num_windows=num_win, h=window_h,
-        chunk_rows=sub * chunk * nq, total_rows=T * nq, dtype=dtype,
-        interpret=interpret)
+        rows_per_step=sub * chunk * BR, nq=nq, total_tile_rows=T * BR,
+        dtype=dtype, interpret=interpret)
 
     def raw(x, pan, rbl_a, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
         partials = call(pan, xp, *tiles)             # (T*8, nq)
-        # (T, 8, nq) -> (T*nq, 8) matching rbl layout (T, nq)
-        per_q = partials.reshape(T, BR, nq).transpose(0, 2, 1)
-        y = segsum(per_q.reshape(T * nq, BR), rbl_a)  # (num_win*h, 8)
+        y = segsum(partials, rbl_a)                  # (num_win*h, 8)
         return y.reshape(-1)[:m]
 
     return raw, (pan_d, rbl_d, *inputs)
@@ -367,7 +374,7 @@ def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
                  window_h: int = DEFAULT_WINDOW_H,
-                 epilogue_sub: int = 4,
+                 epilogue_sub: int = 4, idx_dtype=None,
                  interpret: bool | None = None, Prepared=None, **_):
     P = csr_to_pell(A, quantum=quantum, window_h=window_h,
                     chunk_align=chunk * epilogue_sub,
@@ -378,10 +385,12 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                                 rbl=P.rbl, window=P.window,
                                 window_h=window_h, dtype=dtype,
                                 chunk=chunk, interpret=interpret,
-                                epilogue_sub=epilogue_sub)
+                                epilogue_sub=epilogue_sub,
+                                idx_dtype=idx_dtype)
+    lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
-                    hbm_bytes=P.hbm_bytes,
+                    hbm_bytes=P.num_tiles * BR * BC * (4 + lcol_bytes),
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk, "quantum": quantum,
                           "window_h": window_h})

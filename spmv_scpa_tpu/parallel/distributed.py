@@ -79,8 +79,8 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
     """
     import jax
     import jax.numpy as jnp
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     if dtype is None:
         dtype = jnp.float32
@@ -148,3 +148,129 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
 
     return RowShardedSpmv(mesh=mesh, fn=fn, m=m, n=n, nnz=A.nnz,
                           bounds=bounds, shard_nnz=shard_nnz)
+
+
+def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
+                             quantum: int = 32, window_h: int = 128,
+                             chunk: int = 16, dtype=None,
+                             interpret: bool | None = None):
+    """Distributed SpMV with the Pallas PELL kernel as the local
+    compute (the production path: XLA gather/scatter are near-scalar
+    on TPU, so the plain segment-sum local kernel of
+    ``prepare_row_sharded`` is only suitable for CPU meshes).
+
+    Layout: A row-sharded by the nnz-balanced planner, every shard
+    padded to the same row count and tile count (SPMD needs identical
+    local shapes); x replicated (the all-gather over ICI happens when
+    the sharded fn consumes the replicated operand); y row-sharded.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spmv_scpa_tpu.formats.panel_ell import BC, BR, csr_to_pell
+    from spmv_scpa_tpu.ops import pallas_kernels as PK
+
+    if dtype is None:
+        dtype = jnp.float32
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = PK._auto_interpret()
+
+    bounds, h_rows = plan_row_shards(A, n_dev)
+    h_rows = max(h_rows, BR)
+    shards = []
+    for d in range(n_dev):
+        S = A.slice_rows(int(bounds[d]), int(bounds[d + 1]))
+        S.m = h_rows  # uniform shard height (trailing rows empty)
+        S.irp = np.concatenate(
+            [S.irp, np.full(h_rows + 1 - S.irp.shape[0], S.irp[-1],
+                            S.irp.dtype)])
+        shards.append(csr_to_pell(S, quantum=quantum, window_h=window_h,
+                                  chunk_align=chunk, min_chunk_align=chunk))
+    nq = shards[0].nq
+    num_win = shards[0].num_windows
+    t_max = max(p.num_tiles for p in shards)
+    t_max = -(-t_max // chunk) * chunk
+
+    def pad_shard(p):
+        t = p.num_tiles
+        pad = t_max - t
+        vals = np.pad(p.vals, ((0, pad), (0, 0), (0, 0)))
+        lcol = np.pad(p.lcol, ((0, pad), (0, 0), (0, 0)))
+        panel = np.pad(p.panel, (0, pad))
+        rbl = np.pad(p.rbl, ((0, pad), (0, 0)), constant_values=window_h)
+        window = np.pad(p.window, (0, pad),
+                        constant_values=max(num_win - 1, 0))
+        return vals, lcol, panel, rbl, window
+
+    packs = [pad_shard(p) for p in shards]
+    # identical window-of-step pattern required across shards: pad
+    # windows already non-decreasing per shard; the *pattern* may
+    # differ, but the kernel's prefetched win_of_step is per-shard
+    # data... shard_map shares one program, so win_of_step must be an
+    # ARRAY INPUT, not a python constant → rebuild via the generic
+    # driver with per-shard window arrays is not possible. Instead we
+    # conservatively use one window per shard (window_h >= shard row
+    # blocks) so win_of_step is all-zeros for every shard.
+    mb_local = -(-h_rows // BR)
+    if window_h < mb_local:
+        raise ValueError(
+            f"distributed PELL needs window_h >= {mb_local} (shard row "
+            "blocks); got {window_h} — pass a larger window_h")
+
+    raws = []
+    for pack in packs:
+        vals, lcol, panel, rbl, window = pack
+        raw, args = PK._make_tile_spmv(
+            name="dist-pell", m=h_rows, n=A.n, vals=vals, lcol=lcol,
+            panel=panel, rbl=rbl, window=window, window_h=window_h,
+            dtype=dtype, chunk=chunk, interpret=interpret,
+            epilogue_sub=1)
+        raws.append((raw, args))
+
+    # one shared program: all shards use raws[0].raw with their own args
+    raw0 = raws[0][0]
+    stack = [jnp.stack([jnp.asarray(r[1][i]) for r in raws])
+             for i in range(len(raws[0][1]))]
+    shard = NamedSharding(mesh, P(axis))
+    stack = [jax.device_put(a, shard) for a in stack]
+
+    def local(x, *args_stacked):
+        local_args = [a[0] for a in args_stacked]
+        y = raw0(x, *local_args)              # (h_rows,)
+        return y[None, :]
+
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # annotation, which the checker would otherwise reject
+    mapped = shard_map(local, mesh=mesh,
+                       in_specs=(P(),) + tuple(P(axis) for _ in stack),
+                       out_specs=P(axis), check_vma=False)
+
+    m = A.m
+    bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
+                jnp.asarray(bounds[1:], jnp.int32))
+
+    def raw_full(x, *args_stacked):
+        y_pad = mapped(x.astype(dtype), *args_stacked)   # (n_dev, h_rows)
+        flat = y_pad.reshape(-1)
+        idx = jnp.arange(m, dtype=jnp.int32)
+        sh = jnp.searchsorted(bounds_j[1], idx, side="right")
+        local_i = idx - jnp.take(bounds_j[0], sh)
+        return jnp.take(flat, sh * h_rows + local_i)
+
+    jitted = jax.jit(raw_full)
+
+    def fn(x):
+        return jitted(x, *stack)
+
+    out = RowShardedSpmv(mesh=mesh, fn=fn, m=m, n=A.n, nnz=A.nnz,
+                         bounds=bounds,
+                         shard_nnz=np.diff(A.irp[bounds].astype(np.int64)))
+    out.raw = raw_full
+    out.args = tuple(stack)
+    return out

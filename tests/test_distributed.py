@@ -51,3 +51,14 @@ def test_plan_row_shards_covers_all_rows():
     bounds, h = plan_row_shards(A, 4)
     assert bounds[0] == 0 and bounds[-1] == A.m
     assert h >= max(np.diff(bounds))
+
+
+def test_row_sharded_pell_matches_oracle():
+    """Distributed SpMV with the Pallas PELL local kernel on the
+    virtual CPU mesh (interpret mode)."""
+    A = synth.banded_csr(400, row_nnz=9, bandwidth=60, runs=3, seed=8)
+    from spmv_scpa_tpu.parallel.distributed import prepare_row_sharded_pell
+    dist = prepare_row_sharded_pell(A, mesh=_cpu_mesh(4), window_h=128)
+    x = make_x(A.n)
+    got = np.asarray(dist.fn(x), dtype=np.float64)
+    validate_result(spmv_oracle(A, x), got, what="dist-pell")
