@@ -50,7 +50,7 @@ from spmv_scpa_tpu.formats.csr import CSR
 
 BR = 8      # rows per bucket (f32 sublane count)
 BC = 128    # columns per panel (lane count)
-DEFAULT_QUANTUM = 32
+DEFAULT_QUANTUM = 16
 
 
 @dataclass

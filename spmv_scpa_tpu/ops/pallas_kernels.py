@@ -41,7 +41,7 @@ from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
                                              DEFAULT_WINDOW_H, csr_to_pell)
 from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
 
-DEFAULT_CHUNK = 32           # tiles per grid step (tunable sweep axis)
+DEFAULT_CHUNK = 64           # tiles per grid step (tunable sweep axis)
 X_VMEM_BUDGET = 12 << 20     # max bytes of x kept resident in VMEM
 
 
@@ -88,10 +88,8 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
         xv = jnp.broadcast_to(xg_ref[:][:, None, :],
                               (chunk, BR, BC)).reshape(chunk * BR, BC)
         if gathered:
-            li = lcol_ref[:]
-            if li.dtype != jnp.int32:
-                li = li.astype(jnp.int32)
-            xv = jnp.take_along_axis(xv, li, axis=1)
+            # dynamic_gather accepts int8 indices directly (probed)
+            xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
         prod = vals_ref[:] * xv
         lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
         seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
