@@ -42,6 +42,10 @@ class RunConfig:
     seed: int = DEFAULT_SEED
     host_parallel: bool = False           # also run XLA-on-CPU (omp rows)
     skip_serial_hll: bool = False
+    # extra kwargs forwarded to pallas strategy prepare() — quantum,
+    # window_h, precision_passes, ... (the reference's tuning axes are
+    # hardcoded sweeps, main.c:177-180/265-269; ours are flags)
+    params: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -103,7 +107,9 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 r = None
                 for attempt in range(2):  # compile service can flake
                     try:
-                        kw = {"chunk": chunk} if chunk else {}
+                        kw = dict(cfg.params) if chunk else {}
+                        if chunk:
+                            kw["chunk"] = chunk
                         prep = spec.prepare(A, **kw)
                         r = time_prepared(prep, x)
                         break

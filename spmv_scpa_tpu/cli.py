@@ -59,8 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--bench", default=None,
                    help="comma-separated strategy filter "
                         "(dead flag in the reference, live here)")
-    p.add_argument("--chunks", default="8,16,32",
+    p.add_argument("--chunks", default="16,32,64",
                    help="device kernel tile-chunk sweep")
+    p.add_argument("--quantum", type=int, default=None,
+                   help="PELL slot quantum (8/16/32/64/128)")
+    p.add_argument("--window-h", type=int, default=None,
+                   help="epilogue window height in 8-row blocks")
+    p.add_argument("--precision-passes", type=int, default=None,
+                   help="bf16 MXU passes for f32 reduction (2 or 3)")
     p.add_argument("--seed", type=int, default=42, help="x vector seed")
     p.add_argument("--host-parallel", action="store_true",
                    help="also run XLA-on-CPU rows (OpenMP analog)")
@@ -106,6 +112,13 @@ def main(argv=None) -> int:
 
     from spmv_scpa_tpu.bench.runner import RunConfig, run_benchmarks
 
+    params = {}
+    if args.quantum:
+        params["quantum"] = args.quantum
+    if args.window_h:
+        params["window_h"] = args.window_h
+    if args.precision_passes:
+        params["precision_passes"] = args.precision_passes
     cfg = RunConfig(
         out_dir=args.out,
         debug=args.debug,
@@ -113,6 +126,7 @@ def main(argv=None) -> int:
         chunks=tuple(int(c) for c in args.chunks.split(",")),
         seed=args.seed,
         host_parallel=args.host_parallel,
+        params=params,
     )
     try:
         results = run_benchmarks(A, cfg)

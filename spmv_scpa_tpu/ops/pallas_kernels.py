@@ -57,7 +57,8 @@ def _pad_tiles(arr: np.ndarray, t_pad: int, fill=0):
     return np.pad(arr, pad, constant_values=fill)
 
 
-def _tile_kernel(chunk: int, gathered: bool, nq: int):
+def _tile_kernel(chunk: int, gathered: bool, nq: int,
+                 precision_passes: int = 3):
     """Kernel body: process ``chunk`` tiles of (8,128) slots.
 
     refs: pan (SMEM, prefetched), x (P,128) VMEM, vals (chunk*8,128),
@@ -98,10 +99,6 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
         # products (the default f32 path is one bf16 pass ~1.7e-3 rel
         # err; Precision.HIGHEST costs 6 passes; this costs 3 —
         # see ops/segsum_kernel.dot_f32_via_bf16x3).
-        p1 = prod.astype(jnp.bfloat16)
-        r1 = prod - p1.astype(jnp.float32)
-        p2 = r1.astype(jnp.bfloat16)
-        p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
         dn = (((1,), (0,)), ((), ()))
 
         def dot(x):
@@ -109,7 +106,14 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int):
                 x, seg_mat, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
 
-        out_ref[:] = (dot(p1) + dot(p2) + dot(p3)).astype(out_ref.dtype)
+        acc = None
+        rem = prod
+        for _ in range(precision_passes):
+            hi = rem.astype(jnp.bfloat16)
+            term = dot(hi)
+            acc = term if acc is None else acc + term
+            rem = rem - hi.astype(jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
 
     return kernel
 
@@ -157,7 +161,8 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     lcol: np.ndarray | None, panel: np.ndarray,
                     rbl: np.ndarray, window: np.ndarray, window_h: int,
                     dtype, chunk: int, interpret: bool | None,
-                    epilogue_sub: int = 8, idx_dtype=None):
+                    epilogue_sub: int = 8, idx_dtype=None,
+                    precision_passes: int = 3):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
     Builds a raw traceable ``fn(x[n], *args) -> y[m]``: the Pallas tile
@@ -225,7 +230,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     vmem_limit = min(
         int(x_bytes + 4 * chunk * BR * BC * 8 + (2 << 20)), 100 << 20)
     call = pl.pallas_call(
-        _tile_kernel(chunk, gathered, nq),
+        _tile_kernel(chunk, gathered, nq, precision_passes),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * BR, nq), dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
@@ -373,6 +378,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
+                 precision_passes: int = 3,
                  interpret: bool | None = None, Prepared=None, **_):
     P = csr_to_pell(A, quantum=quantum, window_h=window_h,
                     chunk_align=chunk * epilogue_sub,
@@ -384,7 +390,8 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                                 window_h=window_h, dtype=dtype,
                                 chunk=chunk, interpret=interpret,
                                 epilogue_sub=epilogue_sub,
-                                idx_dtype=idx_dtype)
+                                idx_dtype=idx_dtype,
+                                precision_passes=precision_passes)
     lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
