@@ -24,8 +24,8 @@ REFERENCE_BEST_GFLOPS = 62.5
 # (strategy, params) candidates — the tuned pallas configs plus the
 # XLA baseline for safety.
 CANDIDATES = [
-    ("pallas-pell", {"chunk": 32, "quantum": 16, "window_h": 128}),
-    ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 256}),
+    ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 128}),
+    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128}),
     ("pallas-bcsr", {"chunk": 64}),
 ]
 

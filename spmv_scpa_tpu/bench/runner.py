@@ -46,6 +46,9 @@ class RunConfig:
     # window_h, precision_passes, ... (the reference's tuning axes are
     # hardcoded sweeps, main.c:177-180/265-269; ours are flags)
     params: dict = field(default_factory=dict)
+    # multi-vector SpMM width (BASELINE.json config 3); 0 = SpMV only.
+    # No reference analog — the reference is single-vector.
+    spmm_cols: int = 0
 
 
 @dataclass
@@ -135,7 +138,37 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                                          rel, dict(prep.meta)))
                 log.info("%-16s chunk=%-3s %10.4f ms %8.2f GFLOPS",
                          name, chunk or "-", r.duration_ms, r.gflops)
+
+        # --- multi-vector SpMM (config 3; no reference analog) ---
+        if cfg.spmm_cols:
+            _run_spmm(A, cfg, logger, results)
     return results
+
+
+def _run_spmm(A, cfg, logger, results):
+    from spmv_scpa_tpu.ops.oracle import spmm_oracle
+
+    X = make_x(A.n, cols=cfg.spmm_cols, seed=cfg.seed)
+    golden = spmm_oracle(A, X) if cfg.debug else None
+    for name in ("pallas-bcsr-spmm", "xla-csr-segsum-spmm"):
+        try:
+            spec = get_strategy(name)
+            prep = spec.prepare(A, cols=cfg.spmm_cols)
+            r = time_prepared(prep, X)
+        except Exception as e:
+            log.warning("%s skipped: %s", name, e)
+            continue
+        rel = None
+        if cfg.debug:
+            rel = validate_result(golden, r.data, what=name)
+        logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
+                          chunk=cfg.spmm_cols, rows=A.m, cols=A.n,
+                          nnz=A.nnz, num_blocks=_fmt_blocks(prep),
+                          duration_ms=r.duration_ms, gflops=r.gflops)
+        results.append(RowResult(name, spec.fmt, cfg.spmm_cols, r, rel,
+                                 dict(prep.meta)))
+        log.info("%-20s cols=%-3d %10.4f ms %8.2f GFLOPS",
+                 name, cfg.spmm_cols, r.duration_ms, r.gflops)
 
 
 def _run_host_parallel(A, x, golden, cfg, logger, results):

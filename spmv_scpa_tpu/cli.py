@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epilogue window height in 8-row blocks")
     p.add_argument("--precision-passes", type=int, default=None,
                    help="bf16 MXU passes for f32 reduction (2 or 3)")
+    p.add_argument("--spmm-cols", type=int, default=0,
+                   help="also benchmark multi-vector SpMM at this width")
     p.add_argument("--seed", type=int, default=42, help="x vector seed")
     p.add_argument("--host-parallel", action="store_true",
                    help="also run XLA-on-CPU rows (OpenMP analog)")
@@ -127,6 +129,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         host_parallel=args.host_parallel,
         params=params,
+        spmm_cols=args.spmm_cols,
     )
     try:
         results = run_benchmarks(A, cfg)

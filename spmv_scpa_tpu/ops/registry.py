@@ -240,6 +240,15 @@ def _ensure_builtin():
                           "fp64-equivalence knob (BASELINE.json; "
                           "reference computes in native fp64, csr.h:12)",
                           prepare=_prep_xla_ell_df64))
+    def _prep_xla_segsum_spmm(A: CSR, cols: int = 8, dtype=jnp.float32, **_):
+        raw, args = xla_ops.make_csr_segsum_spmm(A, dtype)
+        return Prepared("xla-csr-segsum-spmm", A.name, bind(raw, args),
+                        on_device=True, nnz=A.nnz, raw=raw, args=args,
+                        hbm_bytes=A.nnz * 12)
+
+    register(StrategySpec("xla-csr-segsum-spmm", "CSR", "xla",
+                          "multi-vector extension (no reference analog)",
+                          prepare=_prep_xla_segsum_spmm, spmm=True))
     register(StrategySpec("xla-dense", "DENSE", "xla",
                           "tiny-matrix regime (SURVEY.md section 6)",
                           prepare=_prep_xla_dense))
