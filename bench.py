@@ -9,7 +9,10 @@ res/plots/cuda/all/spmv/cuda_best_csr_hll.png).
 
 The SuiteSparse files cannot be downloaded here (zero egress), so the
 flagship is the ML_Laplace structural stand-in from
-spmv_scpa_tpu/testing.py: 377k rows, ~26M nnz, clustered band.
+spmv_scpa_tpu/testing.py: the ``stencil`` archetype (377k rows, ~23M
+nnz, ~60 nnz/row in repeated contiguous runs at fixed offsets —
+ML_Laplace is a Laplacian-type FEM matrix whose neighboring rows share
+their element neighborhoods, so patterns repeat down the band).
 """
 
 import json
@@ -24,9 +27,9 @@ REFERENCE_BEST_GFLOPS = 62.5
 # (strategy, params) candidates — the tuned pallas configs plus the
 # XLA baseline for safety.
 CANDIDATES = [
-    ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 128}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128}),
-    ("pallas-bcsr", {"chunk": 64}),
+    ("pallas-pell", {"chunk": 256, "quantum": 16, "window_h": 128}),
+    ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 128}),
 ]
 
 
@@ -41,8 +44,8 @@ def main() -> int:
     from spmv_scpa_tpu.utils.vector import make_x
 
     warm_compiler()
-    A = synth.banded_csr(377_000, row_nnz=72, bandwidth=500, runs=6,
-                         seed=3, name="ml_laplace_like")
+    A = synth.stencil_csr(377_000, points=6, run_len=12, bandwidth=500,
+                          seed=3, name="ml_laplace_like")
     x = make_x(A.n)
     gold = spmv_oracle(A, x)
 

@@ -60,6 +60,36 @@ def banded_csr(m: int, n: int | None = None, row_nnz: int = 32,
     return CSR.from_coo(name, m, n, rows[first], cols[first], vals[first])
 
 
+def stencil_csr(m: int, n: int | None = None, points: int = 6,
+                run_len: int = 12, bandwidth: int = 500, seed: int = 0,
+                name: str = "synth_stencil") -> CSR:
+    """Stencil/FEM archetype: every row has the SAME set of
+    ``points`` contiguous runs at fixed offsets from the diagonal
+    (jittered only between 8-row blocks). This matches
+    Laplacian/stencil-discretization matrices (ML_Laplace-type): mesh
+    node numbering makes neighboring rows share their element
+    neighborhoods, so nonzero patterns repeat down the band — unlike
+    ``banded_csr(runs=...)`` whose per-row-independent runs are a
+    pessimistic (scattered) band."""
+    n = n or m
+    rng = np.random.default_rng(seed)
+    base_off = np.sort(rng.integers(-bandwidth // 2, bandwidth // 2,
+                                    size=points))
+    nblocks = -(-m // 8)
+    jitter = rng.integers(-8, 9, size=(nblocks, points))
+    off = base_off[None, :] + jitter                    # (nblocks, points)
+    rows = np.repeat(np.arange(m), points * run_len)
+    centers = np.arange(m, dtype=np.int64)
+    starts = off[np.arange(m) // 8]                     # (m, points)
+    cols = (centers[:, None, None] + starts[:, :, None]
+            + np.arange(run_len)[None, None, :]).reshape(-1)
+    cols = np.clip(cols, 0, n - 1)
+    vals = rng.standard_normal(rows.shape[0])
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    return CSR.from_coo(name, m, n, rows[first], cols[first], vals[first])
+
+
 def random_csr(m: int, n: int | None = None, density: float = 0.01,
                seed: int = 0, name: str = "synth_random") -> CSR:
     n = n or m
@@ -115,6 +145,7 @@ def tiny_fixture_csr() -> CSR:
 
 ARCHETYPES = {
     "banded": banded_csr,
+    "stencil": stencil_csr,
     "random": random_csr,
     "powerlaw": powerlaw_csr,
 }
