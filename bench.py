@@ -27,8 +27,9 @@ REFERENCE_BEST_GFLOPS = 62.5
 # (strategy, params) candidates — the tuned pallas configs plus the
 # XLA baseline for safety.
 CANDIDATES = [
+    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128,
+                     "epilogue_sub": 8}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128}),
-    ("pallas-pell", {"chunk": 256, "quantum": 16, "window_h": 128}),
     ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 128}),
 ]
 

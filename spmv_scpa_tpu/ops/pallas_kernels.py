@@ -374,12 +374,48 @@ def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
 # Strategy prepare() implementations
 # ---------------------------------------------------------------------------
 
+def _hot_column_remap(A: CSR, hot_cols: int, quantum: int):
+    """Relabel the ``hot_cols`` most frequent columns into *virtual
+    panels* appended past n (the power-law fix, BASELINE config 4):
+    hub columns otherwise scatter one nonzero into thousands of
+    (row, panel) buckets, each padded to a full quantum. Concentrated
+    into a few shared panels, they pack densely. At run time x is
+    extended with a small gather ``x[hot_idx]`` (K elements — cheap
+    even through XLA's scalar gather). y is unaffected.
+
+    Returns (remapped CSR, n_eff, hot_idx or None)."""
+    counts = np.zeros(A.n, dtype=np.int64)
+    np.add.at(counts, A.ja, 1)
+    k = min(hot_cols, A.n)
+    k = max((k // BC) * BC, 0)
+    if k == 0:
+        return A, A.n, None
+    hot_idx = np.argpartition(counts, -k)[-k:]
+    hot_idx = hot_idx[np.argsort(-counts[hot_idx], kind="stable")]
+    if counts[hot_idx[-1]] < 2 * quantum:  # trim the useless tail
+        keep = counts[hot_idx] >= 2 * quantum
+        k = max((int(keep.sum()) // BC) * BC, 0)
+        if k == 0:
+            return A, A.n, None
+        hot_idx = hot_idx[:k]
+    n_pad = -(-A.n // BC) * BC
+    col_map = np.arange(A.n, dtype=np.int64)
+    col_map[hot_idx] = n_pad + np.arange(k)
+    A2 = CSR.from_coo(A.name, A.m, n_pad + k, A.row_ids(),
+                      col_map[A.ja], A.as_)
+    return A2, n_pad + k, hot_idx.astype(np.int32)
+
+
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
-                 precision_passes: int = 3,
+                 precision_passes: int = 3, hot_cols: int = 0,
                  interpret: bool | None = None, Prepared=None, **_):
+    n_orig = A.n
+    hot_idx = None
+    if hot_cols:
+        A, _, hot_idx = _hot_column_remap(A, hot_cols, quantum)
     P = csr_to_pell(A, quantum=quantum, window_h=window_h,
                     chunk_align=chunk * epilogue_sub,
                     min_chunk_align=chunk)
@@ -392,13 +428,28 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                                 epilogue_sub=epilogue_sub,
                                 idx_dtype=idx_dtype,
                                 precision_passes=precision_passes)
+    if hot_idx is not None:
+        inner_raw, inner_args = raw, args
+        n_pad = -(-n_orig // BC) * BC
+        hot_d = jax.device_put(jnp.asarray(hot_idx))
+
+        def raw(x, hot, *a):
+            xe = jnp.concatenate([
+                x.astype(dtype),
+                jnp.zeros((n_pad - n_orig,), dtype),
+                jnp.take(x.astype(dtype), hot)])
+            return inner_raw(xe, *a)
+
+        args = (hot_d, *inner_args)
     lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.num_tiles * BR * BC * (4 + lcol_bytes),
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk, "quantum": quantum,
-                          "window_h": window_h})
+                          "window_h": window_h,
+                          "hot_cols": 0 if hot_idx is None
+                          else int(hot_idx.shape[0])})
 
 
 def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,

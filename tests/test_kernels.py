@@ -113,3 +113,19 @@ def test_bcsr_spmm_matches_oracle():
     prep = get_strategy("pallas-bcsr-spmm").prepare(A, cols=8, chunk=4)
     got = np.asarray(prep.fn(X), dtype=np.float64)
     validate_result(spmm_oracle(A, X), got, what="bcsr-spmm")
+
+
+def test_pell_hot_columns_matches_oracle():
+    """Hot-column virtual panels (the power-law fix) must be exact."""
+    from spmv_scpa_tpu import testing as synth
+    A = synth.powerlaw_csr(500, 500, seed=17)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    prep = get_strategy("pallas-pell").prepare(A, chunk=4, quantum=8,
+                                               hot_cols=128)
+    assert prep.meta["hot_cols"] in (0, 128)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    validate_result(expected, got, what="pell-hot")
+    # fill must not be worse than without the remap
+    prep0 = get_strategy("pallas-pell").prepare(A, chunk=4, quantum=8)
+    assert prep.meta["fill"] >= prep0.meta["fill"] * 0.9
