@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SYNTH_SUITE = [
     "synth:banded:m=4000,row_nnz=9,bandwidth=48,runs=3,seed=1",       # olm1000-ish
     "synth:banded:m=62000,row_nnz=64,bandwidth=300,runs=8,seed=2",    # cant-ish
-    "synth:banded:m=377000,row_nnz=72,bandwidth=500,runs=6,seed=3",   # ML_Laplace-ish
+    "synth:stencil:m=377000,points=6,run_len=12,bandwidth=500,seed=3",  # ML_Laplace-ish
     "synth:random:m=30000,n=30000,density=0.0005,seed=4",             # mac_econ-ish
     "synth:powerlaw:m=100000,n=100000,avg_nnz=8,seed=5",              # webbase-ish
 ]
