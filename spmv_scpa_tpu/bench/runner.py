@@ -105,6 +105,8 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
             spec = get_strategy(name)
             if spec.backend == "host":
                 continue
+            if spec.spmm and name.endswith("-spmm"):
+                continue  # multi-vector strategies run in _run_spmm
             chunks = cfg.chunks if spec.backend == "pallas" else (0,)
             for chunk in chunks:
                 r = None

@@ -26,8 +26,6 @@ kernel-only cudaEvent timing (cuda_csr.cu:224-226).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

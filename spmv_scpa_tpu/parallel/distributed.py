@@ -24,7 +24,6 @@ strategy (XLA or Pallas) serves as the local kernel.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 
@@ -110,7 +109,6 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
             seg[d, k:] = h  # dump segment (sliced off)
 
     shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
     ja_d = jax.device_put(jnp.asarray(ja), shard)
     as_d = jax.device_put(jnp.asarray(as_, dtype), shard)
     seg_d = jax.device_put(jnp.asarray(seg), shard)
@@ -169,7 +167,7 @@ def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from spmv_scpa_tpu.formats.panel_ell import BC, BR, csr_to_pell
+    from spmv_scpa_tpu.formats.panel_ell import BR, csr_to_pell
     from spmv_scpa_tpu.ops import pallas_kernels as PK
 
     if dtype is None:
@@ -192,7 +190,6 @@ def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
                             S.irp.dtype)])
         shards.append(csr_to_pell(S, quantum=quantum, window_h=window_h,
                                   chunk_align=chunk, min_chunk_align=chunk))
-    nq = shards[0].nq
     num_win = shards[0].num_windows
     t_max = max(p.num_tiles for p in shards)
     t_max = -(-t_max // chunk) * chunk
