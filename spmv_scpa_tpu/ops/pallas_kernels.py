@@ -80,10 +80,13 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int,
             lcol_ref, out_ref, xg_ref = rest
         else:
             out_ref, xg_ref = rest
-        t0 = pl.program_id(0) * chunk
+        # pan_ref: (8, chunk) SMEM block covering 8 grid steps (a
+        # whole-array scalar prefetch overflows the ~1 MB SMEM once
+        # tile counts pass ~256k — hit on webbase-scale matrices)
+        i = pl.program_id(0)
 
         for c in range(chunk):  # unrolled: c is static
-            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[t0 + c], 1), :]
+            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
         # (chunk,128) panel rows -> (chunk*8,128): one sublane-broadcast
         # reshape instead of chunk per-tile broadcasts
         xv = jnp.broadcast_to(xg_ref[:][:, None, :],
@@ -197,15 +200,24 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
             win_of_step[:, None]).all(), f"{name}: steps not window-pure"
 
     gathered = lcol is not None
+    steps = T // chunk
+    steps_pad = -(-steps // 8) * 8
     vals_d = jax.device_put(
         jnp.asarray(vals.reshape(T * BR, BC), dtype))
-    pan_d = jax.device_put(jnp.asarray(panel, jnp.int32))
+    pan2 = np.zeros((steps_pad, chunk), np.int32)
+    pan2[:steps] = panel.reshape(steps, chunk)
+    pan_d = jax.device_put(jnp.asarray(pan2))
     rbl_d = jax.device_put(jnp.asarray(rbl.reshape(-1), jnp.int32))
-    # index maps take (grid idx, *prefetched scalar refs)
-    tile_map = lambda i, pan: (i, 0)  # noqa: E731
+    tile_map = lambda i: (i, 0)  # noqa: E731
     inputs = [vals_d]
-    in_specs = [pl.BlockSpec((chunk * BR, BC), tile_map,
-                             memory_space=pltpu.VMEM)]
+    in_specs = [
+        # panel ids: 8 steps of metadata per SMEM block
+        pl.BlockSpec((8, chunk), lambda i: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # x, whole array
+        pl.BlockSpec((chunk * BR, BC), tile_map,
+                     memory_space=pltpu.VMEM),
+    ]
     if gathered:
         # panel-local columns fit int8 (0..127): 5 B/slot instead of 8.
         # int8 sublane tiling is 32, so the block sublane count
@@ -219,20 +231,17 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
                                      memory_space=pltpu.VMEM))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T // chunk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + in_specs,
-        out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((chunk, BC), dtype)],
-    )
+
     vmem_limit = min(
         int(x_bytes + 4 * chunk * BR * BC * 8 + (2 << 20)), 100 << 20)
     call = pl.pallas_call(
         _tile_kernel(chunk, gathered, nq, precision_passes),
-        grid_spec=grid_spec,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T * BR, nq), dtype),
+        scratch_shapes=[pltpu.VMEM((chunk, BC), dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * BR * BC,
@@ -454,7 +463,18 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
 
 def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  window_h: int = DEFAULT_WINDOW_H,
+                 max_padded_bytes: int = 2 << 30,
                  interpret: bool | None = None, Prepared=None, **_):
+    # scattered matrices put ~1 nnz per 4KB tile — refuse before the
+    # dense tile stack explodes (host AND device)
+    est_tiles = np.unique(
+        (A.row_ids().astype(np.int64) // BR) * ((A.n + BC - 1) // BC)
+        + A.ja // BC).shape[0]
+    if est_tiles * BR * BC * 4 > max_padded_bytes:
+        raise ValueError(
+            f"bcsr: {est_tiles} tiles would need "
+            f"{est_tiles * BR * BC * 4} B; matrix too scattered for "
+            "dense tiles — use pallas-pell")
     B = csr_to_bcsr(A, br=BR, bc=BC)
     rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
                        np.diff(B.rowptr))

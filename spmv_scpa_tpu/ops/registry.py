@@ -189,7 +189,16 @@ def _ensure_builtin():
                         hbm_bytes=A.nnz * 12)  # val4 + ja4 + rowid4
 
     def _prep_xla_ell(A: CSR, col_major: bool, slice_h: int = 32,
-                      dtype=jnp.float32, **_):
+                      dtype=jnp.float32, max_padded: int = 1 << 28, **_):
+        # uniform ELL pads every row to the global max row length —
+        # refuse when that explodes (power-law matrices; the reference
+        # HLL study shows the same failure mode, SURVEY.md section 6)
+        max_len = int(np.diff(A.irp).max(initial=1))
+        ns = -(-A.m // slice_h)
+        if ns * slice_h * max(max_len, 1) > max_padded:
+            raise ValueError(
+                f"uniform ELL padding too large (max row {max_len}); "
+                "use CSR/PELL strategies for this matrix")
         E = csr_to_ell(A, slice_h=slice_h, col_major=col_major,
                        pad_mode="last")
         U = E.to_uniform()
@@ -201,7 +210,12 @@ def _ensure_builtin():
                         meta={"num_blocks": E.num_slices,
                               "fill": A.nnz / max(U.ja.size, 1)})
 
-    def _prep_xla_dense(A: CSR, dtype=jnp.float32, **_):
+    def _prep_xla_dense(A: CSR, dtype=jnp.float32,
+                        max_bytes: int = 512 << 20, **_):
+        if A.m * A.n * 4 > max_bytes:
+            raise ValueError(
+                f"xla-dense: {A.m}x{A.n} dense materialization exceeds "
+                f"{max_bytes} B (the tiny-matrix regime only)")
         raw, args = xla_ops.make_dense(A, dtype)
         return Prepared("xla-dense", A.name, bind(raw, args),
                         on_device=True, nnz=A.nnz, raw=raw, args=args,
@@ -222,7 +236,13 @@ def _ensure_builtin():
     register(StrategySpec("xla-ell-cm", "HLL", "xla",
                           "cuda_hll.cu:49-72 (col-major)",
                           prepare=lambda A, **kw: _prep_xla_ell(A, True, **kw)))
-    def _prep_xla_ell_df64(A: CSR, slice_h: int = 32, **_):
+    def _prep_xla_ell_df64(A: CSR, slice_h: int = 32,
+                           max_padded: int = 1 << 28, **_):
+        max_len = int(np.diff(A.irp).max(initial=1))
+        if -(-A.m // slice_h) * slice_h * max(max_len, 1) > max_padded:
+            raise ValueError(
+                f"uniform ELL padding too large (max row {max_len}); "
+                "df64 path unavailable for this matrix")
         E = csr_to_ell(A, slice_h=slice_h, col_major=True,
                        pad_mode="last")
         U = E.to_uniform()
