@@ -67,14 +67,15 @@ def aggregate_omp(df):
 
 
 def _bar_by_matrix(df, value, series, title, path):
-    mats = sorted(df["matrix"].unique())
-    series_vals = sorted(df[series].unique())
+    # collapse to one value per (matrix, series): best over other axes
+    pivot = df.groupby(["matrix", series])[value].max().unstack(series)
+    mats = list(pivot.index)
+    series_vals = list(pivot.columns)
     w = 0.8 / max(len(series_vals), 1)
     fig, ax = plt.subplots(figsize=(max(8, len(mats) * 0.6), 4.5))
     xs = np.arange(len(mats))
     for i, sv in enumerate(series_vals):
-        sub = df[df[series] == sv].set_index("matrix")
-        ys = [sub[value].get(m, np.nan) for m in mats]
+        ys = pivot[sv].to_numpy(dtype=float)
         label = ID_TO_NAME.get(sv, str(sv)) if series == "kernel" else str(sv)
         ax.bar(xs + i * w, ys, w, label=label)
     ax.set_xticks(xs + 0.4 - w / 2)
