@@ -22,6 +22,8 @@ import argparse
 import logging
 import sys
 
+import numpy as np
+
 from spmv_scpa_tpu.errors import ConfigError, SpmvError
 
 
@@ -72,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42, help="x vector seed")
     p.add_argument("--host-parallel", action="store_true",
                    help="also run XLA-on-CPU rows (OpenMP analog)")
+    p.add_argument("--print-result", type=int, default=0, metavar="N",
+                   help="print the first N entries of each result "
+                        "vector (reference: print_result_vector)")
     p.add_argument("--list-strategies", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -142,6 +147,11 @@ def main(argv=None) -> int:
         chunk = "" if r.chunk is None else f" chunk={r.chunk}"
         print(f"  {r.strategy:18s}{chunk:10s} {r.bench.duration_ms:10.4f} ms"
               f" {r.bench.gflops:9.3f} GFLOPS{err}")
+        if args.print_result and r.bench.data is not None:
+            head = np.array2string(
+                np.asarray(r.bench.data).ravel()[:args.print_result],
+                precision=6, max_line_width=100)
+            print(f"    y[:{args.print_result}] = {head}")
     print(f"CSV logs appended under {cfg.out_dir}/")
     return 0
 

@@ -128,3 +128,21 @@ def test_cli_validation_failure_aborts(tmp_path):
         assert rc != 0
     finally:
         registry._REGISTRY[spec.name] = spec
+
+
+def test_cache_roundtrip(tmp_path, mtx_file):
+    from spmv_scpa_tpu.io.cache import cache_path, load_csr_cached
+    A1 = load_csr_cached(mtx_file, cache_dir=str(tmp_path / "c"))
+    assert os.path.exists(cache_path(mtx_file, str(tmp_path / "c")))
+    A2 = load_csr_cached(mtx_file, cache_dir=str(tmp_path / "c"))
+    np.testing.assert_allclose(A1.to_dense(), A2.to_dense())
+    assert A1.name == A2.name
+
+
+def test_cli_print_result(mtx_file, tmp_path, capsys):
+    from spmv_scpa_tpu.cli import main
+    rc = main(["-m", mtx_file, "-o", str(tmp_path / "r"),
+               "-b", "xla-csr-segsum", "--print-result", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "y[:3] =" in out
