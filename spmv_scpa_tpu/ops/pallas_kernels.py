@@ -12,9 +12,9 @@ Design (see SURVEY.md section 7 and the format docstrings):
   ``jnp.take_along_axis``) only supports same-shape tiles, so PELL
   stores lane-local column indices (< 128). BCSR needs no gather at
   all (dense tiles).
-* **No scatter**: each tile quantum emits an 8-row partial; an XLA
-  segment-sum over the quantum row-block ids finishes y. The partial
-  traffic is ``T*8*nq*4 B`` ≈ vals/quantum — small.
+* **No scatter**: each tile quantum emits an 8-row partial; the
+  windowed one-hot MXU segment-sum kernel (ops/segsum_kernel.py)
+  assembles y. The partial traffic is ``T*8*nq*4 B`` ≈ vals/quantum.
 * **Chunked grid**: each grid step streams ``chunk`` tiles; the kernel
   body is vectorized over the whole chunk (one gather, one multiply,
   one MXU reduction) — per-tile small VPU ops, not HBM bandwidth, were
@@ -61,17 +61,18 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int,
                  precision_passes: int = 3):
     """Kernel body: process ``chunk`` tiles of (8,128) slots.
 
-    refs: pan (SMEM, prefetched), x (P,128) VMEM, vals (chunk*8,128),
-    [lcol (chunk*8,128) if gathered], out (chunk*8,nq),
-    xg (chunk*8,128) VMEM scratch.
+    refs: pan (SMEM, blocked: 8 steps of panel ids per block),
+    x (P,128) VMEM whole, vals (chunk*8,128),
+    [lcol (chunk*8,128) int8 if gathered], out (chunk*8,nq),
+    xg (chunk,128) VMEM scratch.
 
-    1. per tile: one dynamic-slice + broadcast store assembling the
-       tile's x panel into ``xg`` (the only per-tile work);
+    1. per tile: one dynamic sublane slice collecting the tile's x
+       panel row into ``xg`` (the only per-tile work), then ONE
+       sublane-broadcast reshape for the whole chunk;
     2. one same-shape lane gather over the whole chunk (PELL only);
     3. one (chunk*8,128) multiply;
-    4. one MXU matmul against the (128,nq) quantum-segment matrix —
-       reduces every quantum of every tile in a single op (a per-tile
-       cross-lane VPU reduction costs ~7 shuffle steps each).
+    4. one MXU matmul against the (128,nq) quantum-segment matrix,
+       f32-grade via a manual bf16 split (``precision_passes``).
     """
     q = BC // nq
 
@@ -383,6 +384,51 @@ def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
 # Strategy prepare() implementations
 # ---------------------------------------------------------------------------
 
+def _dual_grid_remap(A: CSR):
+    """Relabel contiguous column runs that straddle a 128-column panel
+    boundary into a second, 64-column-shifted panel grid appended past
+    n — when the run fits a shifted panel whole.
+
+    Why: PELL buckets are (8-row block, panel); a run crossing a panel
+    boundary becomes two buckets padded to two quanta. At run time x is
+    extended with its own 64-shifted copy — one slice+pad, no gather.
+
+    Measured: on diagonal-stencil matrices this is a NO-OP for fill
+    (default off) — run offsets shift with the diagonal, so rows of one
+    8-row block choose different grids, fragmenting buckets by exactly
+    as much as de-splitting saves. A useful version must choose the
+    grid per (8-row block, run-group), not per run.
+
+    Returns (remapped CSR, extra_cols) with extra_cols the width of the
+    shifted region appended after ceil(n/128)*128.
+    """
+    if A.n <= 64 or A.nnz == 0:
+        return A, 0
+    rows = A.row_ids().astype(np.int64)
+    cols = A.ja.astype(np.int64)
+    # contiguous runs within a row (CSR order: cols ascending per row)
+    brk = np.ones(A.nnz, dtype=bool)
+    brk[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1] + 1)
+    run_id = np.cumsum(brk) - 1
+    nruns = int(run_id[-1]) + 1
+    c0 = np.full(nruns, np.iinfo(np.int64).max)
+    c1 = np.zeros(nruns, dtype=np.int64)
+    np.minimum.at(c0, run_id, cols)
+    np.maximum.at(c1, run_id, cols)
+    crosses = (c0 // BC) != (c1 // BC)
+    fits_shift = (c0 >= 64) & (((c0 - 64) // BC) == ((c1 - 64) // BC))
+    move = crosses & fits_shift
+    if not move.any():
+        return A, 0
+    n_pad = -(-A.n // BC) * BC
+    sel = move[run_id]
+    new_cols = cols.copy()
+    new_cols[sel] = n_pad + (cols[sel] - 64)
+    extra = A.n - 64
+    A2 = CSR.from_coo(A.name, A.m, n_pad + extra, rows, new_cols, A.as_)
+    return A2, extra
+
+
 def _hot_column_remap(A: CSR, hot_cols: int, quantum: int):
     """Relabel the ``hot_cols`` most frequent columns into *virtual
     panels* appended past n (the power-law fix, BASELINE config 4):
@@ -420,11 +466,26 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
                  precision_passes: int = 3, hot_cols: int = 0,
+                 split_shift: bool = False,
                  interpret: bool | None = None, Prepared=None, **_):
-    n_orig = A.n
-    hot_idx = None
+    # column-space transforms: each relabels columns into a region
+    # appended past ceil(n/128)*128 and records how to extend x at run
+    # time (order matters — later transforms see the extended space)
+    extenders = []  # (n_before, hot_idx-or-None)
+    if split_shift and 2 * 4 * (A.n + BC) < X_VMEM_BUDGET:
+        n_before = A.n
+        A, extra = _dual_grid_remap(A)
+        if extra:
+            extenders.append((n_before, None))
     if hot_cols:
+        n_before = A.n
         A, _, hot_idx = _hot_column_remap(A, hot_cols, quantum)
+        if hot_idx is not None:
+            extenders.append((n_before, jax.device_put(
+                jnp.asarray(hot_idx))))
+    n_hot = 0 if not extenders or extenders[-1][1] is None \
+        else int(extenders[-1][1].shape[0])
+
     P = csr_to_pell(A, quantum=quantum, window_h=window_h,
                     chunk_align=chunk * epilogue_sub,
                     min_chunk_align=chunk)
@@ -437,28 +498,28 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                                 epilogue_sub=epilogue_sub,
                                 idx_dtype=idx_dtype,
                                 precision_passes=precision_passes)
-    if hot_idx is not None:
-        inner_raw, inner_args = raw, args
-        n_pad = -(-n_orig // BC) * BC
-        hot_d = jax.device_put(jnp.asarray(hot_idx))
+    if extenders:
+        inner_raw = raw
+        specs = [(nb, -(-nb // BC) * BC, hot) for nb, hot in extenders]
 
-        def raw(x, hot, *a):
-            xe = jnp.concatenate([
-                x.astype(dtype),
-                jnp.zeros((n_pad - n_orig,), dtype),
-                jnp.take(x.astype(dtype), hot)])
+        def raw(x, *a):
+            xe = x.astype(dtype)
+            for n_before, n_pad, hot in specs:
+                tail = (jnp.take(xe, hot) if hot is not None
+                        else xe[64:n_before])
+                xe = jnp.concatenate(
+                    [xe, jnp.zeros((n_pad - n_before,), dtype), tail])
             return inner_raw(xe, *a)
 
-        args = (hot_d, *inner_args)
     lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.num_tiles * BR * BC * (4 + lcol_bytes),
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk, "quantum": quantum,
-                          "window_h": window_h,
-                          "hot_cols": 0 if hot_idx is None
-                          else int(hot_idx.shape[0])})
+                          "window_h": window_h, "hot_cols": n_hot,
+                          "split_shift": bool(
+                              extenders and extenders[0][1] is None)})
 
 
 def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
