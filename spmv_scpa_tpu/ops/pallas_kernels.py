@@ -415,9 +415,26 @@ def _dual_grid_remap(A: CSR):
     c1 = np.zeros(nruns, dtype=np.int64)
     np.minimum.at(c0, run_id, cols)
     np.maximum.at(c1, run_id, cols)
-    crosses = (c0 // BC) != (c1 // BC)
-    fits_shift = (c0 >= 64) & (((c0 - 64) // BC) == ((c1 - 64) // BC))
-    move = crosses & fits_shift
+    r_row = np.zeros(nruns, dtype=np.int64)
+    np.maximum.at(r_row, run_id, rows)
+
+    # The grid must be chosen per (8-row block, run GROUP), not per
+    # run: in stencil/FEM matrices run starts shift with the diagonal,
+    # so a per-run choice lands rows of one block in different grids
+    # and fragments buckets (measured fill-neutral). Cluster runs by
+    # (block, diagonal-normalized 64-bucket of the start column) —
+    # block-constant for stencils, approximate elsewhere.
+    gkey = (r_row // BR) * (2 * (A.n // 64 + 2)) \
+        + (c0 - (r_row % BR)) // 64 + 1
+    guniq, g_of = np.unique(gkey, return_inverse=True)
+    ng = guniq.shape[0]
+    gmin = np.full(ng, np.iinfo(np.int64).max)
+    gmax = np.zeros(ng, dtype=np.int64)
+    np.minimum.at(gmin, g_of, c0)
+    np.maximum.at(gmax, g_of, c1)
+    g_crosses = (gmin // BC) != (gmax // BC)
+    g_fits = (gmin >= 64) & (((gmin - 64) // BC) == ((gmax - 64) // BC))
+    move = (g_crosses & g_fits)[g_of]
     if not move.any():
         return A, 0
     n_pad = -(-A.n // BC) * BC
