@@ -42,7 +42,15 @@ def parse_synth_spec(spec: str):
     if len(parts) > 2 and parts[2]:
         for kv in parts[2].split(","):
             k, _, v = kv.partition("=")
-            kwargs[k] = float(v) if "." in v else int(v)
+            try:
+                kwargs[k] = int(v)
+            except ValueError:
+                try:
+                    kwargs[k] = float(v)   # handles 1e-3 etc.
+                except ValueError:
+                    raise ConfigError(
+                        f"bad numeric value {v!r} in synth spec {spec!r}"
+                    ) from None
     A = synth.ARCHETYPES[archetype](**kwargs)
     return A.with_name(f"{archetype}_" + "_".join(
         f"{k}{v}" for k, v in sorted(kwargs.items())))

@@ -152,14 +152,18 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
     cols = A.ja.astype(np.int64)
     nnz = rows.shape[0]
     if nnz == 0:
-        t0 = chunk_align
+        # every window still needs >= chunk_align (sentinel) tiles so
+        # the epilogue visits and zero-initializes every output block
+        t0 = chunk_align * num_win
         return PanelEll(A.name, A.m, A.n, 0, quantum,
                         np.zeros((t0, BR, BC)),
                         np.zeros((t0, BR, BC), np.int32),
                         np.zeros(t0, np.int32),
                         np.full((t0, nq), mb, np.int32),
                         window_h=window_h, chunk_align=chunk_align,
-                        window=np.zeros(t0, np.int32),
+                        window=np.repeat(
+                            np.arange(num_win, dtype=np.int32),
+                            chunk_align),
                         rbl=np.full((t0, nq), window_h, np.int32))
 
     pn = cols // BC
@@ -216,13 +220,16 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
             break
         chunk_align //= 2
     chunk_align = max(chunk_align, min_chunk_align)
-    win_tiles_pad = -(-np.maximum(win_tiles, 0) // chunk_align) * chunk_align
+    # Every window — including EMPTY ones — gets at least one
+    # chunk_align-sized block of sentinel tiles: the windowed epilogue
+    # zero-initializes an output block only when a grid step visits it,
+    # so an unvisited window would return uninitialized VMEM garbage.
+    win_tiles_pad = np.maximum(
+        -(-np.maximum(win_tiles, 0) // chunk_align) * chunk_align,
+        chunk_align)
     win_base = np.zeros(num_win, dtype=np.int64)
     np.cumsum(win_tiles_pad[:-1], out=win_base[1:])
     T = int(win_tiles_pad.sum())
-    if T == 0:
-        T = chunk_align
-        win_tiles_pad[0] = chunk_align
 
     # group tile bases: window base + cumsum of group tiles within window
     grp_cum = np.cumsum(grp_tiles) - grp_tiles

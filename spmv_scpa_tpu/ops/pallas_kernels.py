@@ -123,18 +123,25 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int,
 
 
 def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int,
-                      min_chunk: int | None = None):
+                      min_chunk: int | None = None,
+                      num_win: int | None = None):
     """Insert dummy tiles so each row-block window's tile count is a
     multiple of ``chunk`` (tiles must already be in row-block order —
     true for BCSR); ``chunk`` shrinks by powers of two toward
     ``min_chunk`` while padding waste exceeds ~10%.
+
+    ``num_win`` must be ceil(num_row_blocks / window_h): every window,
+    including EMPTY leading/interior/trailing ones, gets at least one
+    chunk of sentinel tiles so the windowed epilogue visits (and
+    zero-initializes) every output block.
     Returns (vals, panel, window, rbl, chunk)."""
     T = vals.shape[0]
     if rowblk.ndim == 1:
         rowblk = rowblk[:, None]
     nq = rowblk.shape[1]
     win_of = rowblk[:, 0] // window_h
-    num_win = int(win_of.max(initial=0)) + 1
+    if num_win is None:
+        num_win = int(win_of.max(initial=0)) + 1
     counts = np.zeros(num_win, dtype=np.int64)
     np.add.at(counts, win_of, 1)
     min_chunk = min_chunk or chunk
@@ -144,7 +151,7 @@ def _window_pad_tiles(vals, panel, rowblk, window_h: int, chunk: int,
             break
         chunk //= 2
     chunk = max(chunk, min_chunk)
-    counts_pad = -(-counts // chunk) * chunk
+    counts_pad = np.maximum(-(-counts // chunk) * chunk, chunk)
     base = np.zeros(num_win, dtype=np.int64)
     np.cumsum(counts_pad[:-1], out=base[1:])
     t_new = int(counts_pad.sum())
@@ -187,7 +194,11 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     T = vals.shape[0]
     assert T % chunk == 0, (name, T, chunk)
     mb = (m + BR - 1) // BR
-    num_win = int(window.max(initial=0)) + 1
+    # num_win derives from m, NOT from window.max(): trailing empty
+    # windows must still exist (and be visited) or y comes back short
+    num_win = max(1, -(-mb // window_h))
+    assert int(window.max(initial=0)) + 1 == num_win, \
+        (name, "window ids must cover every window", window.max(), num_win)
     p_rows = max(1, -(-n // BC))
 
     x_bytes = p_rows * BC * jnp.dtype(dtype).itemsize
@@ -557,7 +568,8 @@ def prepare_bcsr(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     rowblk = np.repeat(np.arange(B.num_block_rows, dtype=np.int32),
                        np.diff(B.rowptr))
     vals, panel, window, rbl, _ = _window_pad_tiles(
-        B.vals, B.col_panel, rowblk, window_h, chunk * 4, min_chunk=chunk)
+        B.vals, B.col_panel, rowblk, window_h, chunk * 4, min_chunk=chunk,
+        num_win=max(1, -(-B.num_block_rows // window_h)))
     from spmv_scpa_tpu.ops.registry import bind
     raw, args = _make_tile_spmv(name="pallas-bcsr", m=A.m, n=A.n,
                                 vals=vals, lcol=None, panel=panel,

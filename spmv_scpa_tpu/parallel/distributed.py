@@ -218,7 +218,7 @@ def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
     if window_h < mb_local:
         raise ValueError(
             f"distributed PELL needs window_h >= {mb_local} (shard row "
-            "blocks); got {window_h} — pass a larger window_h")
+            f"blocks); got {window_h} — pass a larger window_h")
 
     raws = []
     for pack in packs:

@@ -55,6 +55,50 @@ def test_empty_rows_and_cols():
         validate_result(expected, got, what=s)
 
 
+@pytest.mark.parametrize("strategy", ["pallas-pell", "pallas-bcsr"])
+def test_empty_windows_regression(strategy):
+    """Matrices with EMPTY row-block windows (leading, interior,
+    trailing) must still produce a full-length, zero-filled y.
+
+    Regression for the round-1 bug: num_win was sized from
+    window.max()+1 so trailing empty windows truncated y, and interior
+    empty windows were never visited by the epilogue, returning
+    uninitialized VMEM garbage (ADVICE.md r1, confirmed on device)."""
+    from spmv_scpa_tpu.formats.csr import CSR
+    m, n = 6000, 512
+    # nonzeros only in rows 1100-1200 and 5900-5950: with the default
+    # window_h=128 (1024 rows/window) windows 0, 2, 3, 4 are empty
+    # (leading + interior), and rows past 5950 leave a trailing gap
+    rows = np.concatenate([np.arange(1100, 1200), np.arange(5900, 5950)])
+    cols = (rows * 7) % n
+    vals = np.linspace(1.0, 2.0, rows.shape[0])
+    A = CSR.from_coo("empty_windows", m, n, rows, cols, vals)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    for window_h in (128, 16):
+        prep = get_strategy(strategy).prepare(A, window_h=window_h)
+        got = np.asarray(prep.fn(x), dtype=np.float64)
+        assert got.shape == (m,), (strategy, window_h, got.shape)
+        validate_result(expected, got,
+                        what=f"{strategy} window_h={window_h}")
+        # the all-zero regions must be exactly zero, not garbage
+        assert np.all(got[:1100] == 0.0)
+        assert np.all(got[1200:5900] == 0.0)
+        assert np.all(got[5950:] == 0.0)
+
+
+def test_empty_windows_all_empty_matrix():
+    """A matrix with zero nonzeros spanning several windows."""
+    from spmv_scpa_tpu.formats.csr import CSR
+    A = CSR.from_coo("all_empty", 4000, 64, np.array([], np.int64),
+                     np.array([], np.int64), np.array([], np.float64))
+    x = make_x(A.n)
+    for s in ("pallas-pell", "pallas-bcsr"):
+        got = np.asarray(get_strategy(s).prepare(A).fn(x))
+        assert got.shape == (4000,)
+        assert np.all(got == 0.0), s
+
+
 def test_spmm_oracle_matches_dense():
     from spmv_scpa_tpu import testing as synth
     A = synth.random_csr(50, 60, density=0.05, seed=8)
