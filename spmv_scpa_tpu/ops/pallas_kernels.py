@@ -39,7 +39,8 @@ from spmv_scpa_tpu.formats.bcsr import csr_to_bcsr
 from spmv_scpa_tpu.formats.csr import CSR
 from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
                                              DEFAULT_WINDOW_H, csr_to_pell)
-from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
+from spmv_scpa_tpu.ops.segsum_kernel import (make_span_segsum,
+                                             make_window_segsum)
 
 DEFAULT_CHUNK = 64           # tiles per grid step (tunable sweep axis)
 X_VMEM_BUDGET = 12 << 20     # max bytes of x kept resident in VMEM
@@ -58,39 +59,71 @@ def _pad_tiles(arr: np.ndarray, t_pad: int, fill=0):
 
 
 def _tile_kernel(chunk: int, gathered: bool, nq: int,
-                 precision_passes: int = 3):
+                 precision_passes: int = 3, dedup_u: int = 0):
     """Kernel body: process ``chunk`` tiles of (8,128) slots.
 
-    refs: pan (SMEM, blocked: 8 steps of panel ids per block),
-    x (P,128) VMEM whole, vals (chunk*8,128),
+    refs (dedup_u == 0):  pan (SMEM (8,chunk): 8 steps of panel ids per
+    block), x (P,128) VMEM whole, vals (chunk*8,128),
     [lcol (chunk*8,128) int8 if gathered], out (chunk*8,nq),
     xg (chunk,128) VMEM scratch.
 
-    1. per tile: one dynamic sublane slice collecting the tile's x
-       panel row into ``xg`` (the only per-tile work), then ONE
-       sublane-broadcast reshape for the whole chunk;
-    2. one same-shape lane gather over the whole chunk (PELL only);
-    3. one (chunk*8,128) multiply;
-    4. one MXU matmul against the (128,nq) quantum-segment matrix,
+    refs (dedup_u == U > 0): pan is replaced by pdict (SMEM (8,U): the
+    step's <=U DISTINCT panel ids) plus plidx (VMEM (8,chunk): each
+    tile's index into the dict).
+
+    1. x-panel assembly — either one dynamic sublane slice PER TILE
+       (chunk small ops/step: the round-1 per-step bottleneck,
+       docs/PERF_LOG.md), or with dedup U slices + a one-hot MXU
+       distribute: ohT[u,c] = (plidx[c]==u), xv_c = ohT^T @ xg[:U]
+       (bf16x3 split of xg: ~2^-25 rel — below f32 noise);
+    2. ONE sublane-broadcast reshape to (chunk*8,128) for the chunk;
+    3. one same-shape lane gather over the whole chunk (PELL only);
+    4. one (chunk*8,128) multiply;
+    5. one MXU matmul against the (128,nq) quantum-segment matrix,
        f32-grade via a manual bf16 split (``precision_passes``).
     """
     q = BC // nq
+    dn0 = (((0,), (0,)), ((), ()))
+    dn1 = (((1,), (0,)), ((), ()))
 
-    def kernel(pan_ref, x_ref, vals_ref, *rest):
+    def kernel(pan_ref, *rest):
+        if dedup_u:
+            plidx_ref, x_ref, vals_ref, *rest = rest
+        else:
+            x_ref, vals_ref, *rest = rest
         if gathered:
             lcol_ref, out_ref, xg_ref = rest
         else:
             out_ref, xg_ref = rest
-        # pan_ref: (8, chunk) SMEM block covering 8 grid steps (a
+        # pan_ref: (8, chunk|U) SMEM block covering 8 grid steps (a
         # whole-array scalar prefetch overflows the ~1 MB SMEM once
         # tile counts pass ~256k — hit on webbase-scale matrices)
         i = pl.program_id(0)
 
-        for c in range(chunk):  # unrolled: c is static
-            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
+        if dedup_u:
+            for u in range(dedup_u):  # unrolled: u is static
+                xg_ref[u:u + 1, :] = x_ref[pl.ds(pan_ref[i % 8, u], 1), :]
+            pl_row = plidx_ref[pl.ds(i % 8, 1), :]        # (1, chunk)
+            su = jax.lax.broadcasted_iota(jnp.int32, (dedup_u, chunk), 0)
+            ohT = (su == pl_row).astype(jnp.bfloat16)     # (U, chunk)
+            xgu = xg_ref[0:dedup_u, :]                    # (U, 128)
+            b1 = xgu.astype(jnp.bfloat16)
+            r1 = xgu - b1.astype(jnp.float32)
+            b2 = r1.astype(jnp.bfloat16)
+            b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+            xv_c = None
+            for b in (b1, b2, b3):
+                t = jax.lax.dot_general(
+                    ohT, b, dimension_numbers=dn0,
+                    preferred_element_type=jnp.float32)
+                xv_c = t if xv_c is None else xv_c + t    # (chunk, 128)
+        else:
+            for c in range(chunk):  # unrolled: c is static
+                xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
+            xv_c = xg_ref[:]
         # (chunk,128) panel rows -> (chunk*8,128): one sublane-broadcast
         # reshape instead of chunk per-tile broadcasts
-        xv = jnp.broadcast_to(xg_ref[:][:, None, :],
+        xv = jnp.broadcast_to(xv_c[:, None, :],
                               (chunk, BR, BC)).reshape(chunk * BR, BC)
         if gathered:
             # dynamic_gather accepts int8 indices directly (probed)
@@ -103,11 +136,10 @@ def _tile_kernel(chunk: int, gathered: bool, nq: int,
         # products (the default f32 path is one bf16 pass ~1.7e-3 rel
         # err; Precision.HIGHEST costs 6 passes; this costs 3 —
         # see ops/segsum_kernel.dot_f32_via_bf16x3).
-        dn = (((1,), (0,)), ((), ()))
 
         def dot(x):
             return jax.lax.dot_general(
-                x, seg_mat, dimension_numbers=dn,
+                x, seg_mat, dimension_numbers=dn1,
                 preferred_element_type=jnp.float32)
 
         acc = None
@@ -173,32 +205,61 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                     rbl: np.ndarray, window: np.ndarray, window_h: int,
                     dtype, chunk: int, interpret: bool | None,
                     epilogue_sub: int = 8, idx_dtype=None,
-                    precision_passes: int = 3):
+                    precision_passes: int = 3, scheme: str = "pure",
+                    epilogue_passes: int = 3, dedup_max: int = 0):
     """Shared driver for PELL (gathered) and BCSR (dense) tile kernels.
 
     Builds a raw traceable ``fn(x[n], *args) -> y[m]``: the Pallas tile
-    pass produces per-quantum 8-row partials, and the windowed one-hot
+    pass produces per-quantum 8-row partials, and a one-hot MXU
     segment-sum kernel (ops/segsum_kernel.py) reduces them into y — no
     XLA gather/scatter anywhere (both are near-scalar on TPU).
 
-    Preconditions (guaranteed by the format packers): tile count is a
-    multiple of ``chunk``; every ``chunk`` consecutive tiles share a
-    window (``window`` non-decreasing); ``rbl`` holds window-local
-    8-row block ids with ``window_h`` as the padding sentinel.
+    Two epilogue schemes:
+
+    * ``"pure"`` — every ``chunk`` consecutive tiles must share a
+      window (packers pad each window to a chunk multiple; guaranteed
+      window-pure grid steps; round-1 behavior).
+    * ``"span"`` — epilogue steps may straddle ONE window boundary
+      (``make_span_segsum``): the packer runs with chunk_align=1, so
+      no per-window tile padding at all — the round-1 fill loss
+      (~25% on the flagship, docs/PERF_LOG.md) disappears. Requires
+      every ``chunk*epilogue_sub`` tile group to touch at most 2
+      windows (checked; ``_span_ok`` lets callers pre-check).
+
+    ``rbl`` holds window-local 8-row block ids with ``window_h`` as the
+    padding sentinel; ``window`` is non-decreasing per tile.
     """
     if interpret is None:
         interpret = _auto_interpret()
     if rbl.ndim == 1:
         rbl = rbl[:, None]
     nq = rbl.shape[1]
-    T = vals.shape[0]
-    assert T % chunk == 0, (name, T, chunk)
     mb = (m + BR - 1) // BR
     # num_win derives from m, NOT from window.max(): trailing empty
     # windows must still exist (and be visited) or y comes back short
     num_win = max(1, -(-mb // window_h))
-    assert int(window.max(initial=0)) + 1 == num_win, \
-        (name, "window ids must cover every window", window.max(), num_win)
+
+    if scheme == "span":
+        # one GLOBAL pad to a multiple of chunk*epilogue_sub (no
+        # per-window padding); appended sentinel tiles keep the last
+        # window id so `window` stays non-decreasing
+        group = chunk * epilogue_sub
+        T = vals.shape[0]
+        t_pad = -(-T // group) * group
+        if t_pad != T:
+            vals = _pad_tiles(vals, t_pad)
+            if lcol is not None:
+                lcol = _pad_tiles(lcol, t_pad)
+            panel = _pad_tiles(panel, t_pad)
+            rbl = _pad_tiles(rbl, t_pad, fill=window_h)
+            window = _pad_tiles(window, t_pad,
+                                fill=int(window.max(initial=0)))
+    T = vals.shape[0]
+    assert T % chunk == 0, (name, T, chunk)
+    if scheme == "pure":
+        assert int(window.max(initial=0)) + 1 == num_win, \
+            (name, "window ids must cover every window",
+             window.max(), num_win)
     p_rows = max(1, -(-n // BC))
 
     x_bytes = p_rows * BC * jnp.dtype(dtype).itemsize
@@ -207,25 +268,68 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
             f"{name}: x ({x_bytes} B) exceeds VMEM budget {X_VMEM_BUDGET} B;"
             " use an XLA strategy for this matrix")
 
-    win_of_step = window[::chunk]
-    assert (window.reshape(-1, chunk) ==
-            win_of_step[:, None]).all(), f"{name}: steps not window-pure"
+    if scheme == "span":
+        group = chunk * epilogue_sub
+        base = window[::group].astype(np.int64)
+        span = int((window.reshape(-1, group)[:, -1] - base).max(
+            initial=0)) + 1
+        # ship GLOBAL row-block ids: rel = rbl_g - base*h in the kernel.
+        # The window_h sentinel maps to (w+1)*h — possibly a real row of
+        # the next window, but sentinel quanta carry all-zero vals so
+        # their contribution is exactly 0.0 either way.
+        rbl_ship = window[:, None].astype(np.int64) * window_h + rbl
+    else:
+        win_of_step = window[::chunk]
+        assert (window.reshape(-1, chunk) ==
+                win_of_step[:, None]).all(), f"{name}: steps not window-pure"
+        rbl_ship = rbl
 
     gathered = lcol is not None
     steps = T // chunk
     steps_pad = -(-steps // 8) * 8
     vals_d = jax.device_put(
         jnp.asarray(vals.reshape(T * BR, BC), dtype))
-    pan2 = np.zeros((steps_pad, chunk), np.int32)
-    pan2[:steps] = panel.reshape(steps, chunk)
-    pan_d = jax.device_put(jnp.asarray(pan2))
-    rbl_d = jax.device_put(jnp.asarray(rbl.reshape(-1), jnp.int32))
+    rbl_d = jax.device_put(jnp.asarray(rbl_ship.reshape(-1), jnp.int32))
+
+    # Panel-dedup decision: when every grid step touches few DISTINCT
+    # x panels (banded/stencil matrices — tiles are packed in
+    # (window, panel-group) order so same-panel tiles are consecutive),
+    # slice U panels and distribute them with one one-hot MXU matmul
+    # instead of `chunk` per-tile dynamic slices.
+    pan_steps = panel.reshape(steps, chunk).astype(np.int32)
+    dedup_u = 0
+    if dedup_max and chunk >= 16:
+        srt = np.sort(pan_steps, axis=1)
+        distinct = 1 + (srt[:, 1:] != srt[:, :-1]).sum(axis=1)
+        need = int(distinct.max(initial=1))
+        if need <= min(dedup_max, chunk // 2):
+            dedup_u = max(8, -(-need // 8) * 8)
+
+    if dedup_u:
+        pdict = np.zeros((steps_pad, dedup_u), np.int32)
+        plidx = np.zeros((steps_pad, chunk), np.int32)
+        for s in range(steps):
+            u, inv = np.unique(pan_steps[s], return_inverse=True)
+            pdict[s, :len(u)] = u
+            plidx[s] = inv
+        pan_d = jax.device_put(jnp.asarray(pdict))
+        plidx_d = jax.device_put(jnp.asarray(plidx))
+    else:
+        pan2 = np.zeros((steps_pad, chunk), np.int32)
+        pan2[:steps] = pan_steps
+        pan_d = jax.device_put(jnp.asarray(pan2))
+
     tile_map = lambda i: (i, 0)  # noqa: E731
     inputs = [vals_d]
     in_specs = [
-        # panel ids: 8 steps of metadata per SMEM block
-        pl.BlockSpec((8, chunk), lambda i: (i // 8, 0),
+        # panel ids / dedup dict: 8 steps of metadata per SMEM block
+        pl.BlockSpec((8, dedup_u or chunk), lambda i: (i // 8, 0),
                      memory_space=pltpu.SMEM),
+    ]
+    if dedup_u:
+        in_specs.append(pl.BlockSpec((8, chunk), lambda i: (i // 8, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),      # x, whole array
         pl.BlockSpec((chunk * BR, BC), tile_map,
                      memory_space=pltpu.VMEM),
@@ -245,9 +349,9 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 
 
     vmem_limit = min(
-        int(x_bytes + 4 * chunk * BR * BC * 8 + (2 << 20)), 100 << 20)
+        int(x_bytes + 4 * chunk * BR * BC * 8 + (3 << 20)), 100 << 20)
     call = pl.pallas_call(
-        _tile_kernel(chunk, gathered, nq, precision_passes),
+        _tile_kernel(chunk, gathered, nq, precision_passes, dedup_u),
         grid=(steps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk * BR, nq), tile_map,
@@ -263,20 +367,37 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         ),
         interpret=interpret,
     )
-    # The epilogue kernel can stream several SpMV-grid-steps worth of
-    # partials per step (bigger blocks, fewer steps) as long as its
-    # steps stay window-pure: shrink the factor until it divides the
-    # window-pure step pattern.
-    sub = epilogue_sub
-    while sub > 1 and (
-            len(win_of_step) % sub != 0
-            or not (win_of_step.reshape(-1, sub)
-                    == win_of_step.reshape(-1, sub)[:, :1]).all()):
-        sub //= 2
-    segsum = make_window_segsum(
-        win_of_step=win_of_step[::sub], num_windows=num_win, h=window_h,
-        rows_per_step=sub * chunk * BR, nq=nq, total_tile_rows=T * BR,
-        dtype=dtype, interpret=interpret)
+    if scheme == "span":
+        segsum = make_span_segsum(
+            base_of_step=base.astype(np.int32), num_windows=num_win,
+            h=window_h, rows_per_step=group * BR, nq=nq,
+            total_tile_rows=T * BR, span=span, dtype=dtype,
+            interpret=interpret, passes=epilogue_passes)
+    else:
+        # The epilogue kernel can stream several SpMV-grid-steps worth
+        # of partials per step (bigger blocks, fewer steps) as long as
+        # its steps stay window-pure: shrink the factor until it
+        # divides the window-pure step pattern.
+        sub = epilogue_sub
+        while sub > 1 and (
+                len(win_of_step) % sub != 0
+                or not (win_of_step.reshape(-1, sub)
+                        == win_of_step.reshape(-1, sub)[:, :1]).all()):
+            sub //= 2
+        segsum = make_window_segsum(
+            win_of_step=win_of_step[::sub], num_windows=num_win,
+            h=window_h, rows_per_step=sub * chunk * BR, nq=nq,
+            total_tile_rows=T * BR, dtype=dtype, interpret=interpret)
+
+    if dedup_u:
+        def raw(x, pan, plidx_a, rbl_a, *tiles):
+            xp = jnp.zeros((p_rows * BC,), dtype)
+            xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
+            partials = call(pan, plidx_a, xp, *tiles)    # (T*8, nq)
+            y = segsum(partials, rbl_a)                  # (num_win*h, 8)
+            return y.reshape(-1)[:m]
+
+        return raw, (pan_d, plidx_d, rbl_d, *inputs)
 
     def raw(x, pan, rbl_a, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
@@ -286,6 +407,213 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         return y.reshape(-1)[:m]
 
     return raw, (pan_d, rbl_d, *inputs)
+
+
+def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
+                  precision_passes: int, epilogue_passes: int):
+    """Single-pass SpMV: tile MACs + windowed segment-sum in ONE grid
+    step — per-quantum partials never round-trip through HBM and the
+    epilogue's grid overhead disappears (measured 0.37 ms of 0.84 ms
+    on the flagship as a separate kernel).
+
+    refs: base (scalar-prefetch: window of the step's first tile),
+    pan (SMEM (8,chunk)), rbl (VMEM (8,g) GLOBAL row-block per
+    quantum), x (P,128) whole, vals (chunk*8,128), [lcol int8],
+    outs[k] (h,8) k=0..W-1 at block base+k (revisit-accumulated),
+    xg (chunk,128) scratch.
+    """
+    q = BC // nq
+    g = chunk * nq
+    dn1 = (((1,), (0,)), ((), ()))
+
+    def kernel(base_ref, pan_ref, rbl_ref, x_ref, vals_ref, *rest):
+        if gathered:
+            lcol_ref, *outs, xg_ref = rest
+        else:
+            *outs, xg_ref = rest
+        i = pl.program_id(0)
+
+        for c in range(chunk):  # unrolled: c is static
+            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
+        xv = jnp.broadcast_to(xg_ref[:][:, None, :],
+                              (chunk, BR, BC)).reshape(chunk * BR, BC)
+        if gathered:
+            xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
+        prod = vals_ref[:] * xv
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
+        seg_mat = (lane // q == seg).astype(jnp.bfloat16)
+
+        def dot(x):
+            return jax.lax.dot_general(
+                x, seg_mat, dimension_numbers=dn1,
+                preferred_element_type=jnp.float32)
+
+        acc = None
+        rem = prod
+        for _ in range(precision_passes):
+            hi = rem.astype(jnp.bfloat16)
+            term = dot(hi)
+            acc = term if acc is None else acc + term
+            rem = rem - hi.astype(jnp.float32)
+
+        # ---- fused windowed segment-sum (ops/segsum_kernel.py) ----
+        part = acc.reshape(chunk, BR, nq)
+        part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
+        b = base_ref[i]
+        rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h            # (1, g)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
+        oh = (hh == rel).astype(jnp.bfloat16)
+        acc2 = None
+        rem = part
+        for _ in range(epilogue_passes):
+            hi = rem.astype(jnp.bfloat16)
+            term = jax.lax.dot_general(
+                oh, hi, dimension_numbers=dn1,
+                preferred_element_type=jnp.float32)
+            acc2 = term if acc2 is None else acc2 + term
+            rem = rem - hi.astype(jnp.float32)
+
+        prev = base_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, b != prev)
+
+        @pl.when(is_first)
+        def _():
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
+
+        for k, o in enumerate(outs):
+            o[:] += acc2[k * h:(k + 1) * h].astype(o.dtype)
+
+    return kernel
+
+
+def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
+                     lcol: np.ndarray | None, panel: np.ndarray,
+                     rbl: np.ndarray, window: np.ndarray, window_h: int,
+                     dtype, chunk: int, interpret: bool | None,
+                     idx_dtype=None, precision_passes: int = 3,
+                     epilogue_passes: int = 3):
+    """Single-kernel SpMV driver (see _fused_kernel). Input layout is
+    the chunk_align=1 PELL/BCSR packing (window non-decreasing, NO
+    per-window tile padding)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    if rbl.ndim == 1:
+        rbl = rbl[:, None]
+    nq = rbl.shape[1]
+    mb = (m + BR - 1) // BR
+    num_win = max(1, -(-mb // window_h))
+    h = window_h
+
+    T = vals.shape[0]
+    t_pad = -(-T // chunk) * chunk
+    if t_pad != T:
+        vals = _pad_tiles(vals, t_pad)
+        if lcol is not None:
+            lcol = _pad_tiles(lcol, t_pad)
+        panel = _pad_tiles(panel, t_pad)
+        rbl = _pad_tiles(rbl, t_pad, fill=window_h)
+        window = _pad_tiles(window, t_pad,
+                            fill=int(window.max(initial=0)))
+        T = t_pad
+
+    p_rows = max(1, -(-n // BC))
+    x_bytes = p_rows * BC * jnp.dtype(dtype).itemsize
+    if x_bytes > X_VMEM_BUDGET:
+        raise ValueError(
+            f"{name}: x ({x_bytes} B) exceeds VMEM budget {X_VMEM_BUDGET} B;"
+            " use an XLA strategy for this matrix")
+
+    steps = T // chunk
+    steps_pad = -(-steps // 8) * 8
+    g = chunk * nq
+    base = window[::chunk].astype(np.int64)
+    W = int((window.reshape(-1, chunk)[:, -1] - base).max(initial=0)) + 1
+
+    rbl_glob = window[:, None].astype(np.int64) * window_h + rbl
+    rbl2 = np.zeros((steps_pad, g), np.int32)
+    rbl2[:steps] = rbl_glob.reshape(steps, g)
+    pan2 = np.zeros((steps_pad, chunk), np.int32)
+    pan2[:steps] = panel.reshape(steps, chunk)
+
+    vals_d = jax.device_put(jnp.asarray(vals.reshape(T * BR, BC), dtype))
+    pan_d = jax.device_put(jnp.asarray(pan2))
+    rbl_d = jax.device_put(jnp.asarray(rbl2))
+    base_d = jax.device_put(jnp.asarray(base, jnp.int32))
+
+    vis = np.unique(base)
+    masks = []
+    for k in range(W):
+        mk = np.zeros(num_win, dtype=bool)
+        vk = vis + k
+        mk[vk[vk < num_win]] = True
+        masks.append(jax.device_put(jnp.asarray(np.repeat(mk, h)[:, None])))
+
+    gathered = lcol is not None
+    tile_map = lambda i, base: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((8, chunk), lambda i, base: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, g), lambda i, base: (i // 8, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # x, whole array
+        pl.BlockSpec((chunk * BR, BC), tile_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [vals_d]
+    if gathered:
+        idx_dt = idx_dtype or (
+            jnp.int8 if (chunk * BR) % 32 == 0 and not interpret
+            else jnp.int32)
+        lcol_d = jax.device_put(
+            jnp.asarray(lcol.reshape(T * BR, BC), idx_dt))
+        inputs.append(lcol_d)
+        in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
+                                     memory_space=pltpu.VMEM))
+
+    def out_map(k):
+        return lambda i, base: (base[i] + k, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((h, BR), out_map(k),
+                                memory_space=pltpu.VMEM)
+                   for k in range(W)],
+        scratch_shapes=[pltpu.VMEM((chunk, BC), dtype)],
+    )
+    vmem_limit = min(
+        int(x_bytes + 4 * chunk * BR * BC * 8 + (4 << 20)), 100 << 20)
+    call = pl.pallas_call(
+        _fused_kernel(chunk, gathered, nq, h, W,
+                      precision_passes, epilogue_passes),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(((num_win + W - 1) * h, BR), dtype)
+                   for _ in range(W)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * BR * BC + 2 * steps * W * h * g * BR,
+            bytes_accessed=int(vals_d.size * (8 if gathered else 4)
+                               + x_bytes),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def raw(x, base_a, pan, rbl_a, *tiles):
+        xp = jnp.zeros((p_rows * BC,), dtype)
+        xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
+        outs = call(base_a, pan, rbl_a, xp, *tiles)
+        zero = jnp.zeros((), dtype)
+        y = None
+        for k in range(W):
+            t = jnp.where(masks[k], outs[k][:num_win * h], zero)
+            y = t if y is None else y + t
+        return y.reshape(-1)[:m]
+
+    return raw, (base_d, pan_d, rbl_d, *inputs)
 
 
 # ---------------------------------------------------------------------------
@@ -489,12 +817,27 @@ def _hot_column_remap(A: CSR, hot_cols: int, quantum: int):
     return A2, n_pad + k, hot_idx.astype(np.int32)
 
 
+def _span_of(window: np.ndarray, group: int) -> int:
+    """Max number of windows any ``group``-tile epilogue step touches
+    (the make_span_segsum W; epilogue cost scales with W*h)."""
+    T = window.shape[0]
+    if T == 0:
+        return 1
+    t_pad = -(-T // group) * group
+    w = np.pad(window, (0, t_pad - T),
+               constant_values=int(window.max(initial=0)))
+    base = w[::group].astype(np.int64)
+    return int((w.reshape(-1, group)[:, -1] - base).max(initial=0)) + 1
+
+
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int = DEFAULT_QUANTUM,
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
                  precision_passes: int = 3, hot_cols: int = 0,
-                 split_shift: bool = False,
+                 split_shift: bool = False, scheme: str = "auto",
+                 epilogue_passes: int = 3, dedup_max: int = 0,
+                 span_max: int = 8,
                  interpret: bool | None = None, Prepared=None, **_):
     # column-space transforms: each relabels columns into a region
     # appended past ceil(n/128)*128 and records how to extend x at run
@@ -514,18 +857,50 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     n_hot = 0 if not extenders or extenders[-1][1] is None \
         else int(extenders[-1][1].shape[0])
 
-    P = csr_to_pell(A, quantum=quantum, window_h=window_h,
-                    chunk_align=chunk * epilogue_sub,
-                    min_chunk_align=chunk)
+    # Scheme choice. "fused"/"span" pack with chunk_align=1 (NO
+    # per-window tile padding — the round-1 ~25% fill loss) as long as
+    # every grid-step tile group touches <= span_max windows;
+    # otherwise the window-pure scheme pads each window to a chunk
+    # multiple. "fused" (the default) computes the windowed segment-sum
+    # inside the tile kernel itself — partials never touch HBM.
+    P = None
+    use_scheme = scheme
+    if scheme in ("auto", "fused", "span"):
+        P = csr_to_pell(A, quantum=quantum, window_h=window_h,
+                        chunk_align=1, min_chunk_align=1)
+        group = chunk if scheme != "span" else chunk * epilogue_sub
+        span = _span_of(P.window, group)
+        if span <= span_max:
+            use_scheme = "fused" if scheme in ("auto", "fused") else "span"
+        elif scheme != "auto":
+            raise ValueError(
+                f"pallas-pell: a grid step would span {span} > "
+                f"{span_max} windows; use scheme='pure', a larger "
+                "window_h, or raise span_max")
+        else:
+            use_scheme, P = "pure", None
+    if P is None:
+        P = csr_to_pell(A, quantum=quantum, window_h=window_h,
+                        chunk_align=chunk * epilogue_sub,
+                        min_chunk_align=chunk)
     from spmv_scpa_tpu.ops.registry import bind
-    raw, args = _make_tile_spmv(name="pallas-pell", m=A.m, n=A.n,
-                                vals=P.vals, lcol=P.lcol, panel=P.panel,
-                                rbl=P.rbl, window=P.window,
-                                window_h=window_h, dtype=dtype,
-                                chunk=chunk, interpret=interpret,
-                                epilogue_sub=epilogue_sub,
-                                idx_dtype=idx_dtype,
-                                precision_passes=precision_passes)
+    if use_scheme == "fused":
+        raw, args = _make_fused_spmv(
+            name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
+            panel=P.panel, rbl=P.rbl, window=P.window,
+            window_h=window_h, dtype=dtype, chunk=chunk,
+            interpret=interpret, idx_dtype=idx_dtype,
+            precision_passes=precision_passes,
+            epilogue_passes=epilogue_passes)
+    else:
+        raw, args = _make_tile_spmv(
+            name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
+            panel=P.panel, rbl=P.rbl, window=P.window,
+            window_h=window_h, dtype=dtype, chunk=chunk,
+            interpret=interpret, epilogue_sub=epilogue_sub,
+            idx_dtype=idx_dtype, precision_passes=precision_passes,
+            scheme=use_scheme, epilogue_passes=epilogue_passes,
+            dedup_max=dedup_max)
     if extenders:
         inner_raw = raw
         specs = [(nb, -(-nb // BC) * BC, hot) for nb, hot in extenders]
@@ -546,6 +921,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk, "quantum": quantum,
                           "window_h": window_h, "hot_cols": n_hot,
+                          "scheme": use_scheme,
                           "split_shift": bool(
                               extenders and extenders[0][1] is None)})
 

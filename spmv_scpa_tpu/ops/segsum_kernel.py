@@ -57,6 +57,139 @@ def dot_f32_via_bf16x3(a_exact, b_f32, out_dtype=jnp.float32):
     return (dot(a, b1) + dot(a, b2) + dot(a, b3)).astype(out_dtype)
 
 
+def make_span_segsum(*, base_of_step: np.ndarray, num_windows: int,
+                     h: int, rows_per_step: int, nq: int,
+                     total_tile_rows: int, span: int = 2,
+                     dtype=jnp.float32, interpret: bool = False,
+                     passes: int = 3):
+    """Bounded-span variant of the windowed segment-sum: a grid step
+    may straddle up to ``span-1`` window boundaries, which frees the
+    SpMV tile packer from padding every window's tile count to a grid
+    multiple — the measured ~25% fill loss of round 1
+    (docs/PERF_LOG.md).
+
+    Per step s with base window ``b = base_of_step[s]`` (the window of
+    the step's first tile, non-decreasing):
+
+    1. transpose the native (rows, nq) partial block to (g, 8),
+    2. one-hot ``OH[j, q] = (rowblk[q] - b*h == j)`` over a span*h
+       range,
+    3. ``acc = OH @ partials`` (span*h, 8) via bf16 split passes,
+    4. accumulate acc[k*h:(k+1)*h] into block ``b+k`` of the k-th of
+       ``span`` staggered outputs (Pallas revisit-accumulated).
+
+    y = sum_k where(mask_k, out_k): output block b+k of out_k holds
+    window b+k's rows, so window w sits at rows [w*h,(w+1)*h) of every
+    output; mask_k marks blocks some step actually visited (unvisited
+    blocks are uninitialized VMEM — where, not multiply: 0*NaN=NaN).
+    ``rowblk`` is the GLOBAL row-block id per quantum; padding quanta
+    may hold any value since their partials are exactly 0.0.
+
+    Returns ``fn(partials, rowblk) -> y (num_windows*h, 8)``.
+    """
+    steps = total_tile_rows // rows_per_step
+    assert base_of_step.shape == (steps,), (base_of_step.shape, steps)
+    tiles_per_step = rows_per_step // BR
+    g = tiles_per_step * nq
+    W = span
+    base_d = jax.device_put(jnp.asarray(base_of_step, jnp.int32))
+    steps_pad = -(-steps // 8) * 8
+
+    vis = np.unique(base_of_step)
+    masks = []
+    for k in range(W):
+        mk = np.zeros(num_windows, dtype=bool)
+        vk = vis + k
+        mk[vk[vk < num_windows]] = True
+        masks.append(jax.device_put(
+            jnp.asarray(np.repeat(mk, h)[:, None])))
+
+    def kernel(base_ref, rbl_ref, part_ref, *out_refs):
+        i = pl.program_id(0)
+        b = base_ref[i]
+        prev = base_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, b != prev)
+
+        @pl.when(is_first)
+        def _():
+            for o in out_refs:
+                o[:] = jnp.zeros_like(o)
+
+        part = part_ref[:].reshape(tiles_per_step, BR, nq)
+        part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
+
+        rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h            # (1, g)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
+        oh = (hh == rel).astype(jnp.bfloat16)
+        acc = _dot_passes(oh, part, passes, jnp.float32)     # (W*h, 8)
+        for k, o in enumerate(out_refs):
+            o[:] += acc[k * h:(k + 1) * h].astype(o.dtype)
+
+    def out_map(k):
+        return lambda i, base: (base[i] + k, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((8, g), lambda i, base: (i // 8, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_step, nq), lambda i, base: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((h, BR), out_map(k),
+                                memory_space=pltpu.VMEM)
+                   for k in range(W)],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(((num_windows + W - 1) * h, BR),
+                                        dtype) for _ in range(W)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * W * h * g * BR,
+            bytes_accessed=total_tile_rows * nq * 4
+            + W * num_windows * h * BR * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def fn(partials, rowblk):
+        rbl2 = rowblk.reshape(steps, g)
+        if steps_pad != steps:
+            rbl2 = jnp.pad(rbl2, ((0, steps_pad - steps), (0, 0)))
+        outs = call(base_d, rbl2, partials)
+        zero = jnp.zeros((), dtype)
+        y = None
+        for k in range(W):
+            t = jnp.where(masks[k], outs[k][:num_windows * h], zero)
+            y = t if y is None else y + t
+        return y
+
+    return fn
+
+
+def _dot_passes(a_exact, b_f32, passes: int, out_dtype):
+    """``a @ b`` with ``a`` bf16-exact and ``b`` f32 split into
+    ``passes`` bf16 terms (3 = f32-grade; 2 ≈ 1.5e-5 rel)."""
+    dn = (((1,), (0,)), ((), ()))
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+    a = a_exact.astype(jnp.bfloat16)
+    acc = None
+    rem = b_f32
+    for _ in range(passes):
+        hi = rem.astype(jnp.bfloat16)
+        term = dot(a, hi)
+        acc = term if acc is None else acc + term
+        rem = rem - hi.astype(jnp.float32)
+    return acc.astype(out_dtype)
+
+
 def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
                        h: int, rows_per_step: int, nq: int,
                        total_tile_rows: int, dtype=jnp.float32,

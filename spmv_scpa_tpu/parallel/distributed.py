@@ -223,11 +223,13 @@ def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
     raws = []
     for pack in packs:
         vals, lcol, panel, rbl, window = pack
+        # dedup_max=0: the dedup decision (and thus the arg structure)
+        # must be identical across shards for the stacked shard_map args
         raw, args = PK._make_tile_spmv(
             name="dist-pell", m=h_rows, n=A.n, vals=vals, lcol=lcol,
             panel=panel, rbl=rbl, window=window, window_h=window_h,
             dtype=dtype, chunk=chunk, interpret=interpret,
-            epilogue_sub=1)
+            epilogue_sub=1, dedup_max=0)
         raws.append((raw, args))
 
     # one shared program: all shards use raws[0].raw with their own args
