@@ -2,7 +2,11 @@
 """Headline benchmark for the driver: SpMV GFLOP/s on the flagship
 (ML_Laplace-scale) matrix, best strategy/tuning, real TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+roofline accounting fields (vs_roofline = t_speed_of_light/t_measured
+against the measured Pallas-stream HBM bandwidth — BASELINE.json's
+>=0.8 target, visible at a glance per VERDICT r1 item 4).
+
 Baseline = the reference's best single-matrix CUDA result, ~62.5
 GFLOP/s fp64 on ML_Laplace (BASELINE.md; read off
 res/plots/cuda/all/spmv/cuda_best_csr_hll.png).
@@ -24,13 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_BEST_GFLOPS = 62.5
 
-# (strategy, params) candidates — the tuned pallas configs plus the
-# XLA baseline for safety.
+# (strategy, params) candidates — the tuned fused-kernel configs
+# (measured sweep in docs/PERF_LOG.md) plus a fallback.
 CANDIDATES = [
-    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128,
-                     "epilogue_sub": 8}),
+    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 48,
+                     "scheme": "fused", "precision_passes": 2,
+                     "epilogue_passes": 2, "span_max": 12}),
+    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 64,
+                     "scheme": "fused", "precision_passes": 2,
+                     "epilogue_passes": 2}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128}),
-    ("pallas-pell", {"chunk": 64, "quantum": 16, "window_h": 128}),
 ]
 
 
@@ -38,6 +45,7 @@ def main() -> int:
     import numpy as np
 
     from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.bench.roofline import measure_stream_bw, roofline
     from spmv_scpa_tpu.bench.timing import time_device_fn, warm_compiler
     from spmv_scpa_tpu.ops.oracle import spmv_oracle
     from spmv_scpa_tpu.ops.registry import get_strategy
@@ -67,8 +75,8 @@ def main() -> int:
             continue
         print(f"# {name} {params}: {r.duration_ms:.4f} ms "
               f"{r.gflops:.2f} GFLOP/s", file=sys.stderr)
-        if best is None or r.gflops > best[1]:
-            best = (name, r.gflops, r.duration_ms)
+        if best is None or r.gflops > best[2].gflops:
+            best = (name, prep, r)
 
     if best is None:
         print(json.dumps({"metric": "spmv_gflops_ml_laplace_like",
@@ -76,12 +84,22 @@ def main() -> int:
                           "vs_baseline": 0.0}))
         return 1
 
-    name, gflops, ms = best
+    name, prep, r = best
+    try:
+        rep = roofline(prep, r.duration_ms, r.gflops,
+                       x_bytes=A.n * 4, y_bytes=A.m * 4)
+        roof = {"vs_roofline": round(rep.fraction, 4),
+                "stream_bw_gbs": round(rep.stream_bw_gbs, 1),
+                "t_roofline_ms": round(rep.t_min_ms, 4)}
+    except Exception as e:  # roofline probe must never sink the bench
+        print(f"# roofline probe failed: {e}", file=sys.stderr)
+        roof = {}
     print(json.dumps({
         "metric": "spmv_gflops_ml_laplace_like",
-        "value": round(gflops, 3),
+        "value": round(r.gflops, 3),
         "unit": "GFLOP/s",
-        "vs_baseline": round(gflops / REFERENCE_BEST_GFLOPS, 4),
+        "vs_baseline": round(r.gflops / REFERENCE_BEST_GFLOPS, 4),
+        **roof,
     }))
     return 0
 
