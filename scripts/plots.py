@@ -126,6 +126,86 @@ def plot_device(df, out):
     plt.close(fig)
 
 
+def plot_device_per_bin(df, out):
+    """Per-kernel figures: avg GFLOP/s vs chunk with nnz bins as series
+    — the reference's per-bin per-kernel family (plots.py:139-183)."""
+    agg = aggregate_device(df)
+    agg = agg.assign(nnz_bin=pd.cut(agg["nnz"], NNZ_BINS,
+                                    labels=NNZ_LABELS, right=False))
+    for k, ksub in agg.groupby("kernel"):
+        ksub = ksub[ksub["warps_per_block"] > 0]
+        if ksub["warps_per_block"].nunique() < 2:
+            continue
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for b, sub in ksub.groupby("nnz_bin", observed=True):
+            s = sub.groupby("warps_per_block")["gflops"].mean()
+            if len(s):
+                ax.plot(s.index, s.values, marker="o", label=str(b))
+        kname = ID_TO_NAME.get(k, str(k))
+        ax.set_xlabel("chunk (tiles per grid step)")
+        ax.set_ylabel("avg GFLOP/s")
+        ax.set_title(f"{kname}: chunk scaling by nnz bin")
+        ax.legend(fontsize=7, title="nnz bin")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, f"device_{kname}_per_bin.png"),
+                    dpi=120)
+        plt.close(fig)
+
+
+def plot_omp_scaling(df, serial_df, out):
+    """Parallel-scaling families per nnz bin — the reference's
+    avg-GFLOPS-vs-threads and speedup-vs-threads plots
+    (plots.py:186-248). num_threads = mesh device count for the
+    distributed rows written by scripts/scaling.py."""
+    agg = aggregate_omp(df)
+    if agg["num_threads"].nunique() < 2:
+        return
+    agg = agg.assign(nnz_bin=pd.cut(agg["nnz"], NNZ_BINS,
+                                    labels=NNZ_LABELS, right=False))
+    for bench, bsub in agg.groupby("bench"):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for b, sub in bsub.groupby("nnz_bin", observed=True):
+            s = sub.groupby("num_threads")["gflops"].mean()
+            if len(s) >= 2:
+                ax.plot(s.index, s.values, marker="o", label=str(b))
+        ax.set_xlabel("devices in mesh")
+        ax.set_ylabel("avg GFLOP/s")
+        ax.set_title(f"{bench}: GFLOP/s vs parallelism by nnz bin")
+        ax.legend(fontsize=7, title="nnz bin")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, f"omp_{bench}_gflops_by_bin.png"),
+                    dpi=120)
+        plt.close(fig)
+    if serial_df is None:
+        return
+    ser = aggregate_serial(serial_df)
+    ser = ser[ser["format"] == "CSR"].set_index("matrix")
+    rows = []
+    for _, r in agg.iterrows():
+        if r["matrix"] in ser.index:
+            rows.append({**r, "speedup":
+                         float(ser.loc[r["matrix"], "duration_ms"])
+                         / r["duration_ms"]})
+    if not rows:
+        return
+    sp = pd.DataFrame(rows)
+    for bench, bsub in sp.groupby("bench"):
+        fig, ax = plt.subplots(figsize=(6, 4))
+        for b, sub in bsub.groupby("nnz_bin", observed=True):
+            s = sub.groupby("num_threads")["speedup"].mean()
+            if len(s) >= 2:
+                ax.plot(s.index, s.values, marker="o", label=str(b))
+        ax.axhline(1.0, color="gray", lw=0.7, ls="--")
+        ax.set_xlabel("devices in mesh")
+        ax.set_ylabel("speedup vs serial CSR")
+        ax.set_title(f"{bench}: speedup vs parallelism by nnz bin")
+        ax.legend(fontsize=7, title="nnz bin")
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, f"omp_{bench}_speedup_by_bin.png"),
+                    dpi=120)
+        plt.close(fig)
+
+
 def plot_omp(df, serial_df, out):
     agg = aggregate_omp(df)
     _bar_by_matrix(agg, "gflops", "bench", "Host-parallel GFLOP/s",
@@ -164,8 +244,10 @@ def main() -> int:
         plot_serial(serial, out)
     if dev is not None:
         plot_device(dev, out)
+        plot_device_per_bin(dev, out)
     if omp is not None:
         plot_omp(omp, serial, out)
+        plot_omp_scaling(omp, serial, out)
     n = len(os.listdir(out))
     print(f"wrote {n} plots to {out}")
     return 0

@@ -30,7 +30,8 @@ SYNTH_SUITE = [
     "synth:banded:m=62000,row_nnz=64,bandwidth=300,runs=8,seed=2",    # cant-ish
     "synth:stencil:m=377000,points=6,run_len=12,bandwidth=500,seed=3",  # ML_Laplace-ish
     "synth:random:m=30000,n=30000,density=0.0005,seed=4",             # mac_econ-ish
-    "synth:powerlaw:m=100000,n=100000,avg_nnz=8,seed=5",              # webbase-ish
+    "synth:powerlaw:m=100000,n=100000,avg_nnz=8,seed=5",              # no-locality stress
+    "synth:webbase:m=1000000,seed=7",                                 # webbase-1M stand-in
 ]
 
 

@@ -29,8 +29,8 @@ STRATEGY_IDS = {
     "xla-dense": 3,
     "pallas-bcsr": 4,
     "pallas-pell": 5,
-    "pallas-sell": 6,
-    "pallas-pell-spmm": 7,
+    "xla-ell-df64": 6,
+    "pallas-bcsr-spmm": 7,
     "xla-csr-segsum-spmm": 8,
     "distributed-rowshard": 9,
 }

@@ -160,6 +160,11 @@ def main(argv=None) -> int:
                 np.asarray(r.bench.data).ravel()[:args.print_result],
                 precision=6, max_line_width=100)
             print(f"    y[:{args.print_result}] = {head}")
+    if cfg.skipped:
+        print(f"WARNING: {len(cfg.skipped)} strategy x chunk cell(s) "
+              "produced no row:", file=sys.stderr)
+        for name, chunk, why in cfg.skipped:
+            print(f"  {name} (chunk={chunk}): {why}", file=sys.stderr)
     print(f"CSV logs appended under {cfg.out_dir}/")
     return 0
 

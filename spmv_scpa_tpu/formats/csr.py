@@ -145,31 +145,3 @@ def partition_rows_by_nnz(irp: np.ndarray, num_parts: int) -> np.ndarray:
     return np.maximum.accumulate(bounds)
 
 
-def partition_tiles_by_nnz(irp: np.ndarray, max_nnz_per_tile: int,
-                           row_align: int = 1) -> np.ndarray:
-    """Greedy row tiling with an nnz budget per tile — the single-chip
-    analog of the nnz-balanced partition, used to emit row-tile
-    descriptors for Pallas grids (dynamic-balance ≈ the reference's
-    ``schedule(guided)``, csr.c:286-293).
-
-    Rows longer than the budget get a tile of their own. Tile
-    boundaries are aligned down to ``row_align`` rows when possible.
-    Returns boundaries (num_tiles+1,).
-    """
-    irp = np.asarray(irp, dtype=np.int64)
-    m = irp.shape[0] - 1
-    bounds = [0]
-    r = 0
-    while r < m:
-        # furthest row end with cumulative nnz within budget
-        limit = irp[r] + max_nnz_per_tile
-        nxt = int(np.searchsorted(irp, limit, side="right")) - 1
-        if nxt <= r:
-            nxt = r + 1  # oversized row: own tile
-        elif row_align > 1 and nxt < m:
-            aligned = nxt - (nxt % row_align)
-            if aligned > r:
-                nxt = aligned
-        bounds.append(nxt)
-        r = nxt
-    return np.asarray(bounds, dtype=np.int64)

@@ -493,10 +493,17 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                      rbl: np.ndarray, window: np.ndarray, window_h: int,
                      dtype, chunk: int, interpret: bool | None,
                      idx_dtype=None, precision_passes: int = 3,
-                     epilogue_passes: int = 3):
+                     epilogue_passes: int = 3,
+                     force_span: int | None = None,
+                     force_tiles: int | None = None):
     """Single-kernel SpMV driver (see _fused_kernel). Input layout is
     the chunk_align=1 PELL/BCSR packing (window non-decreasing, NO
-    per-window tile padding)."""
+    per-window tile padding).
+
+    ``force_span``/``force_tiles`` pin the one-hot span W and the padded
+    tile count so different matrices (e.g. SPMD shards) compile to ONE
+    identical program — the distributed path stacks per-shard args
+    under shard_map (parallel/distributed.py)."""
     if interpret is None:
         interpret = _auto_interpret()
     if rbl.ndim == 1:
@@ -508,6 +515,9 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 
     T = vals.shape[0]
     t_pad = -(-T // chunk) * chunk
+    if force_tiles is not None:
+        assert force_tiles >= t_pad and force_tiles % chunk == 0
+        t_pad = force_tiles
     if t_pad != T:
         vals = _pad_tiles(vals, t_pad)
         if lcol is not None:
@@ -530,6 +540,9 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     g = chunk * nq
     base = window[::chunk].astype(np.int64)
     W = int((window.reshape(-1, chunk)[:, -1] - base).max(initial=0)) + 1
+    if force_span is not None:
+        assert force_span >= W, (name, force_span, W)
+        W = force_span
 
     rbl_glob = window[:, None].astype(np.int64) * window_h + rbl
     rbl2 = np.zeros((steps_pad, g), np.int32)
@@ -543,12 +556,14 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     base_d = jax.device_put(jnp.asarray(base, jnp.int32))
 
     vis = np.unique(base)
-    masks = []
+    masks = np.zeros((W, num_win), dtype=bool)
     for k in range(W):
-        mk = np.zeros(num_win, dtype=bool)
         vk = vis + k
-        mk[vk[vk < num_win]] = True
-        masks.append(jax.device_put(jnp.asarray(np.repeat(mk, h)[:, None])))
+        masks[k, vk[vk < num_win]] = True
+    # masks travel as a jit ARGUMENT (stacked (W, num_win*h, 1)) so
+    # SPMD shards can carry per-shard visit patterns through one program
+    mask_d = jax.device_put(jnp.asarray(
+        np.repeat(masks, h, axis=1)[:, :, None]))
 
     gathered = lcol is not None
     tile_map = lambda i, base: (i, 0)  # noqa: E731
@@ -602,52 +617,86 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         interpret=interpret,
     )
 
-    def raw(x, base_a, pan, rbl_a, *tiles):
+    def raw(x, base_a, pan, rbl_a, mask_a, *tiles):
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
         outs = call(base_a, pan, rbl_a, xp, *tiles)
         zero = jnp.zeros((), dtype)
         y = None
         for k in range(W):
-            t = jnp.where(masks[k], outs[k][:num_win * h], zero)
+            t = jnp.where(mask_a[k], outs[k][:num_win * h], zero)
             y = t if y is None else y + t
         return y.reshape(-1)[:m]
 
-    return raw, (base_d, pan_d, rbl_d, *inputs)
+    return raw, (base_d, pan_d, rbl_d, mask_d, *inputs)
 
 
 # ---------------------------------------------------------------------------
 # BCSR SpMM (multi-vector) — the MXU path (BASELINE.json config 3)
 # ---------------------------------------------------------------------------
 
-def _spmm_kernel(chunk: int, cc: int):
-    """Per chunk: ``chunk`` MXU matmuls (8,128)@(128,cc).
+def _spmm_kernel(chunk: int, cc: int, h: int, W: int):
+    """Fused BCSR SpMM step: ``chunk`` MXU matmuls (8,128)@(128,cc)
+    plus the in-step windowed block reduction.
 
     X is VMEM-resident flattened to (P*128, cc) so a column panel is a
     contiguous 128-sublane slice — SpMV's (P,128) panel view widened to
     cc right-hand sides. The matrix tile streams once and feeds cc
     columns: the arithmetic-intensity regime the MXU exists for.
-    """
 
-    def kernel(pan_ref, xt_ref, vals_ref, out_ref):
-        t0 = pl.program_id(0) * chunk
+    The per-tile (8, cc) partials are reduced to window row-blocks the
+    same way as the fused SpMV (one-hot over a W*h range, staggered
+    outputs) — round 1 used jax.ops.segment_sum here, the primitive
+    this repo measured at ~0.1-0.3 GFLOP/s on TPU (VERDICT r1 weak 7).
+    One-hot granularity: (row-block, sublane) pairs ride as 8h rows so
+    Y keeps its (rows, cc) layout.
+    """
+    # pan_ref: (8, chunk) SMEM (blocked — whole-array scalar prefetch
+    # overflows SMEM past ~256k tiles; ADVICE r1 item 2)
+
+    def kernel(base_ref, pan_ref, rbl_ref, xt_ref, vals_ref, *outs):
+        i = pl.program_id(0)
+        parts = []
         for c in range(chunk):
-            p = pan_ref[t0 + c]
+            p = pan_ref[i % 8, c]
             xp = xt_ref[pl.ds(p * BC, BC), :]          # (128, cc)
-            out_ref[c * BR:(c + 1) * BR, :] = jax.lax.dot_general(
+            parts.append(jax.lax.dot_general(
                 vals_ref[c * BR:(c + 1) * BR, :], xp,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST).astype(out_ref.dtype)
+                precision=jax.lax.Precision.HIGHEST))
+        part = jnp.concatenate(parts, axis=0)          # (chunk*8, cc)
+
+        b = base_ref[i]
+        prev = base_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, b != prev)
+
+        @pl.when(is_first)
+        def _():
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
+
+        # one-hot over (window-local block, sublane) rows: source row
+        # (c, s') goes to output row (rbl[c]-b*h)*8 + s'. rbl_ref ships
+        # the combined global index rowblk[c]*8 + s' per SOURCE row
+        # (precomputed host-side), so one iota compare suffices.
+        want = rbl_ref[pl.ds(i % 8, 1), :] - b * (h * BR)  # (1, chunk*8)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (W * h * BR, chunk * BR),
+                                       0)
+        oh = (sub == want).astype(jnp.bfloat16)
+        acc = _dot_passes_f32(oh, part)                # (W*h*8, cc)
+        for k, o in enumerate(outs):
+            o[:] += acc[k * h * BR:(k + 1) * h * BR].astype(o.dtype)
 
     return kernel
 
 
 def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
-                   chunk: int = DEFAULT_CHUNK,
+                   chunk: int = DEFAULT_CHUNK, window_h: int = 32,
                    interpret: bool | None = None):
     """Raw traceable ``fn(X[n, cols], *args) -> Y[m, cols]`` over BCSR
-    tiles through the MXU."""
+    tiles through the MXU, with the fused windowed block reduction
+    (see _spmm_kernel)."""
     if interpret is None:
         interpret = _auto_interpret()
     B = csr_to_bcsr(A, br=BR, bc=BC)
@@ -657,6 +706,8 @@ def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
     t_pad = max(chunk, -(-T // chunk) * chunk)
     m, n = A.m, A.n
     mb = (m + BR - 1) // BR
+    h = window_h
+    num_win = max(1, -(-mb // h))
     p_rows = max(1, -(-n // BC))
 
     x_bytes = p_rows * BC * cols * jnp.dtype(dtype).itemsize
@@ -665,29 +716,63 @@ def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
             f"bcsr-spmm: X ({x_bytes} B) exceeds VMEM budget; reduce cols"
             " or matrix size")
 
+    steps = t_pad // chunk
+    steps_pad = -(-steps // 8) * 8
+    rowblk_p = _pad_tiles(rowblk, t_pad, fill=mb)
+    window = np.minimum(rowblk_p // h, num_win - 1)
+    base = window[::chunk].astype(np.int64)
+    W = int((window.reshape(-1, chunk)[:, -1] - base).max(initial=0)) + 1
+
+    vis = np.unique(base)
+    masks = np.zeros((W, num_win), dtype=bool)
+    for k in range(W):
+        vk = vis + k
+        masks[k, vk[vk < num_win]] = True
+    mask_d = jax.device_put(jnp.asarray(
+        np.repeat(masks, h * BR, axis=1)[:, :, None]))
+
+    pan2 = np.zeros((steps_pad, chunk), np.int32)
+    pan2[:steps] = _pad_tiles(B.col_panel, t_pad).reshape(steps, chunk)
+    # combined (global block)*8 + sublane index per SOURCE row
+    wglob = (np.repeat(rowblk_p, BR).astype(np.int64) * BR
+             + np.tile(np.arange(BR), t_pad))
+    rbl2 = np.zeros((steps_pad, chunk * BR), np.int32)
+    rbl2[:steps] = wglob.reshape(steps, chunk * BR)
+
     vals_d = jax.device_put(jnp.asarray(
         _pad_tiles(B.vals, t_pad).reshape(t_pad * BR, BC), dtype))
-    pan_d = jax.device_put(
-        jnp.asarray(_pad_tiles(B.col_panel, t_pad), jnp.int32))
-    rb_d = jax.device_put(jnp.asarray(
-        _pad_tiles(rowblk, t_pad, fill=mb), jnp.int32))
+    pan_d = jax.device_put(jnp.asarray(pan2))
+    rbl_d = jax.device_put(jnp.asarray(rbl2))
+    base_d = jax.device_put(jnp.asarray(base, jnp.int32))
 
-    tile_map = lambda i, pan: (i, 0)  # noqa: E731
+    tile_map = lambda i, base: (i, 0)  # noqa: E731
+
+    def out_map(k):
+        return lambda i, base: (base[i] + k, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_pad // chunk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((8, chunk), lambda i, base: (i // 8, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, chunk * BR),
+                               lambda i, base: (i // 8, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec((chunk * BR, BC), tile_map,
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((chunk * BR, cols), tile_map,
-                               memory_space=pltpu.VMEM),
+        out_specs=[pl.BlockSpec((h * BR, cols), out_map(k),
+                                memory_space=pltpu.VMEM)
+                   for k in range(W)],
     )
     call = pl.pallas_call(
-        _spmm_kernel(chunk, cols),
+        _spmm_kernel(chunk, cols, h, W),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad * BR, cols), dtype),
+        out_shape=[jax.ShapeDtypeStruct(((num_win + W - 1) * h * BR,
+                                         cols), dtype)
+                   for _ in range(W)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(x_bytes) + (8 << 20), 100 << 20)),
+            vmem_limit_bytes=min(int(x_bytes) + (12 << 20), 100 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * BR * BC * cols,
             bytes_accessed=int(vals_d.size * 4 + x_bytes),
@@ -695,23 +780,26 @@ def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
         interpret=interpret,
     )
 
-    def raw(X, pan, rb, vals):
+    def raw(X, base_a, pan, rbl_a, mask_a, vals):
         Xp = jnp.zeros((p_rows * BC, cols), dtype)
         Xp = Xp.at[:n].set(X.astype(dtype))
-        partials = call(pan, Xp, vals)               # (t_pad*8, cols)
-        y = jax.ops.segment_sum(
-            partials.reshape(t_pad, BR, cols), rb,
-            num_segments=mb + 1, indices_are_sorted=True)
-        return y[:mb].reshape(-1, cols)[:m]
+        outs = call(base_a, pan, rbl_a, Xp, vals)
+        zero = jnp.zeros((), dtype)
+        y = None
+        for k in range(W):
+            t = jnp.where(mask_a[k], outs[k][:num_win * h * BR], zero)
+            y = t if y is None else y + t
+        return y[:m]
 
-    return raw, (pan_d, rb_d, vals_d), B
+    return raw, (base_d, pan_d, rbl_d, mask_d, vals_d), B
 
 
 def prepare_bcsr_spmm(A: CSR, cols: int = 8, dtype=jnp.float32,
-                      chunk: int = DEFAULT_CHUNK,
+                      chunk: int = DEFAULT_CHUNK, window_h: int = 32,
                       interpret: bool | None = None, Prepared=None, **_):
     from spmv_scpa_tpu.ops.registry import bind
-    raw, args, B = make_bcsr_spmm(A, cols, dtype, chunk, interpret)
+    raw, args, B = make_bcsr_spmm(A, cols, dtype, chunk,
+                                  window_h=window_h, interpret=interpret)
     return Prepared("pallas-bcsr-spmm", A.name, bind(raw, args),
                     on_device=True, nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=B.padded_bytes,
@@ -817,6 +905,200 @@ def _hot_column_remap(A: CSR, hot_cols: int, quantum: int):
     return A2, n_pad + k, hot_idx.astype(np.int32)
 
 
+def _prepare_pell_striped(A: CSR, *, dtype, x_vmem_budget, Prepared,
+                          **kw):
+    """Column-striped PELL for matrices whose x exceeds the VMEM
+    budget (n > ~3M at f32): split the columns into stripes that fit,
+    run the fused PELL kernel per stripe on a static slice of x, and
+    sum the per-stripe y vectors — all inside one jit program.
+
+    This replaces round 1's behavior of falling off a cliff to the XLA
+    segment-sum (~0.13 GF/s on TPU) for large-n matrices. The analog
+    capability in the reference is simply that CSR has no column
+    limit (csr.c:201-216); the TPU-native answer to 'x too big for
+    fast memory' is column blocking, the same trick the reference's
+    k4 texture kernel plays at cache granularity (cuda_csr.cu:145-178).
+    """
+    import jax
+
+    # half the budget per stripe: leave room for tiles + double buffers
+    ws = max(BC, (x_vmem_budget // 2 // jnp.dtype(dtype).itemsize
+                  // BC) * BC)
+    n_stripes = -(-A.n // ws)
+    rows = A.row_ids()
+    parts = []   # (raw, nargs, c0, c1, args)
+    total_bytes = 0
+    num_tiles = 0
+    nnz_seen = 0
+    for s in range(n_stripes):
+        c0, c1 = s * ws, min((s + 1) * ws, A.n)
+        sel = (A.ja >= c0) & (A.ja < c1)
+        if not sel.any():
+            continue
+        S = CSR.from_coo(f"{A.name}[c{c0}:{c1}]", A.m, c1 - c0,
+                         rows[sel], A.ja[sel] - c0, A.as_[sel])
+        nnz_seen += S.nnz
+        p = csr_to_pell(S, quantum=kw.get("quantum", DEFAULT_QUANTUM),
+                        window_h=kw.get("window_h", DEFAULT_WINDOW_H),
+                        chunk_align=1, min_chunk_align=1)
+        raw, args = _make_fused_spmv(
+            name=f"pell-stripe{s}", m=A.m, n=S.n, vals=p.vals,
+            lcol=p.lcol, panel=p.panel, rbl=p.rbl, window=p.window,
+            window_h=kw.get("window_h", DEFAULT_WINDOW_H), dtype=dtype,
+            chunk=kw.get("chunk", DEFAULT_CHUNK),
+            interpret=kw.get("interpret"),
+            precision_passes=kw.get("precision_passes", 3),
+            epilogue_passes=kw.get("epilogue_passes", 3))
+        parts.append((raw, len(args), c0, c1))
+        num_tiles += p.num_tiles
+        total_bytes += p.num_tiles * BR * BC * 5
+        parts[-1] = (raw, len(args), c0, c1, args)
+    assert nnz_seen == A.nnz
+
+    flat_args = tuple(a for part in parts for a in part[4])
+    metas = [(p[0], p[1], p[2], p[3]) for p in parts]
+
+    def raw_all(x, *flat):
+        y = None
+        ofs = 0
+        for r, nargs, c0, c1 in metas:
+            t = r(x[c0:c1], *flat[ofs:ofs + nargs])
+            ofs += nargs
+            y = t if y is None else y + t
+        return y if y is not None else jnp.zeros((A.m,), dtype)
+
+    from spmv_scpa_tpu.ops.registry import bind
+    return Prepared("pallas-pell", A.name, bind(raw_all, flat_args),
+                    on_device=True, nnz=A.nnz, raw=raw_all,
+                    args=flat_args, hbm_bytes=total_bytes,
+                    meta={"num_blocks": num_tiles,
+                          "fill": A.nnz / max(num_tiles * BR * BC, 1),
+                          "stripes": len(metas), "scheme": "fused",
+                          "chunk": kw.get("chunk", DEFAULT_CHUNK),
+                          "quantum": kw.get("quantum", DEFAULT_QUANTUM),
+                          "window_h": kw.get("window_h",
+                                             DEFAULT_WINDOW_H),
+                          "hot_cols": 0})
+
+
+SORT_WIN = 128   # 8-row blocks per row-sort window (1024 rows)
+
+
+def _rank_sort_sigma(A: CSR):
+    """Per-lane rank-sort permutation for scattered matrices.
+
+    Power-law matrices put ~1 row per (8-row block, panel) bucket, so
+    7/8 of every quantum's sublanes are padding (measured fill 0.05,
+    docs/PERF_LOG.md). Clustering similar rows into blocks densifies
+    buckets — but an arbitrary row permutation cannot be undone on TPU
+    (scatter). Constraint that makes it undoable: a row may only move
+    to positions with its own residue mod 8 (its LANE). Then, per
+    1024-row window and per lane i, sort the window's lane-i rows by
+    (ceil-log2 length, median column); new block j takes the j-th
+    ranked row of each lane. Blocks get 8 similar-rank rows (fill
+    0.0545 -> 0.113 measured on the powerlaw archetype) and the
+    un-permutation is a per-lane BLOCK permutation — one small one-hot
+    MXU pass (_make_unpermute).
+
+    Returns (sigma, bsrc) with sigma[old_row] = new_row and
+    bsrc[b, i] = window-local source block for destination (b, i).
+    """
+    m = A.m
+    mb_pad = -(-max(m, 1) // (SORT_WIN * BR)) * SORT_WIN
+    m_pad = mb_pad * BR
+    lens = np.zeros(m_pad, np.int64)
+    lens[:m] = np.diff(A.irp)
+    lenclass = np.zeros(m_pad, np.int64)
+    nz = lens > 0
+    lenclass[nz] = np.ceil(np.log2(lens[nz] + 1)).astype(np.int64)
+    med = np.zeros(m_pad, np.int64)
+    mid = np.minimum(A.irp[:-1] + np.maximum(lens[:m] // 2, 0),
+                     np.maximum(A.irp[1:] - 1, A.irp[:-1]))
+    if A.nnz:
+        med[:m] = np.where(lens[:m] > 0,
+                           A.ja[np.minimum(mid, A.nnz - 1)], 0)
+    key = -lenclass * (1 << 34) + med
+    k3 = key.reshape(-1, SORT_WIN, BR)            # (nwin, 128, 8)
+    order = np.argsort(k3, axis=1, kind="stable") # old block of rank j
+    nwin = k3.shape[0]
+    # sigma: old (w, order[w,j,i], i) -> new (w, j, i)
+    w_ix = np.arange(nwin)[:, None, None]
+    i_ix = np.arange(BR)[None, None, :]
+    old_rows = (w_ix * SORT_WIN + order) * BR + i_ix
+    new_rows = (w_ix * SORT_WIN
+                + np.arange(SORT_WIN)[None, :, None]) * BR + i_ix
+    sigma = np.empty(m_pad, np.int64)
+    sigma[old_rows.reshape(-1)] = new_rows.reshape(-1)
+    # unpermute: y_old[w, b, i] = y_new[w, bsrc[w,b,i], i] where
+    # bsrc[w, order[w,j,i], i] = j
+    bsrc = np.empty((nwin, SORT_WIN, BR), np.int32)
+    j_ix = np.broadcast_to(np.arange(SORT_WIN)[None, :, None],
+                           order.shape)
+    np.put_along_axis(bsrc, order, j_ix.astype(np.int32), axis=1)
+    return sigma[:m], bsrc.reshape(nwin * SORT_WIN, BR)
+
+
+def _make_unpermute(bsrc: np.ndarray, dtype, interpret: bool,
+                    wins_per_step: int = 8):
+    """Pallas pass applying the per-lane block un-permutation:
+    y[b, i] = y'[bsrc[b, i] (window-local), i] via 8 one-hot MXU
+    matmuls per 128-block window (~16k iota compares each — for a
+    1M-row matrix the whole pass is ~13M compares, <2% of the SpMV).
+
+    Returns (fn(y' (mbp,8), bsrc_dev) -> y (mbp,8), bsrc_dev).
+    """
+    mbp = bsrc.shape[0]
+    nwin = mbp // SORT_WIN
+    while nwin % wins_per_step:
+        wins_per_step //= 2
+    rows_blk = SORT_WIN * wins_per_step
+
+    def kernel(y_ref, bs_ref, out_ref):
+        cm = jax.lax.broadcasted_iota(jnp.int32, (SORT_WIN, BR), 1)
+        for w in range(wins_per_step):
+            yw = y_ref[w * SORT_WIN:(w + 1) * SORT_WIN, :]
+            bs = bs_ref[w * SORT_WIN:(w + 1) * SORT_WIN, :]
+            jota = jax.lax.broadcasted_iota(
+                jnp.int32, (SORT_WIN, SORT_WIN), 1)
+            acc = None
+            for i in range(BR):
+                oh = (jota == bs[:, i:i + 1]).astype(jnp.bfloat16)
+                t = _dot_passes_f32(oh, yw)          # (128, 8)
+                t = jnp.where(cm == i, t, 0.0)
+                acc = t if acc is None else acc + t
+            out_ref[w * SORT_WIN:(w + 1) * SORT_WIN, :] = \
+                acc.astype(out_ref.dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nwin // wins_per_step,),
+        in_specs=[pl.BlockSpec((rows_blk, BR), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((rows_blk, BR), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows_blk, BR), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mbp, BR), dtype),
+        interpret=interpret,
+    )
+    bsrc_d = jax.device_put(jnp.asarray(bsrc))
+    return call, bsrc_d
+
+
+def _dot_passes_f32(a_bf16_exact, b_f32, passes: int = 2):
+    """a @ b with a exact in bf16, b split into ``passes`` bf16 terms."""
+    dn = (((1,), (0,)), ((), ()))
+    acc = None
+    rem = b_f32
+    for _ in range(passes):
+        hi = rem.astype(jnp.bfloat16)
+        t = jax.lax.dot_general(a_bf16_exact, hi, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+        acc = t if acc is None else acc + t
+        rem = rem - hi.astype(jnp.float32)
+    return acc
+
+
 def _span_of(window: np.ndarray, group: int) -> int:
     """Max number of windows any ``group``-tile epilogue step touches
     (the make_span_segsum W; epilogue cost scales with W*h)."""
@@ -837,8 +1119,27 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  precision_passes: int = 3, hot_cols: int = 0,
                  split_shift: bool = False, scheme: str = "auto",
                  epilogue_passes: int = 3, dedup_max: int = 0,
-                 span_max: int = 8,
+                 span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
+                 row_sort: bool = False,
                  interpret: bool | None = None, Prepared=None, **_):
+    # x too big for VMEM → column-striped fused kernels (one jit
+    # program summing per-stripe y) instead of the XLA cliff
+    if -(-A.n // BC) * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
+        return _prepare_pell_striped(
+            A, dtype=dtype, x_vmem_budget=x_vmem_budget,
+            Prepared=Prepared, chunk=chunk, quantum=quantum,
+            window_h=window_h, precision_passes=precision_passes,
+            epilogue_passes=epilogue_passes, interpret=interpret)
+    # Row-space transform: rank-sort clustering for scattered matrices
+    # (undone on device by the _make_unpermute one-hot pass).
+    m_orig = A.m
+    bsrc = None
+    if row_sort:
+        sigma, bsrc = _rank_sort_sigma(A)
+        m_pad = bsrc.shape[0] * BR
+        A = CSR.from_coo(A.name, m_pad, A.n, sigma[A.row_ids()],
+                         A.ja, A.as_)
+
     # column-space transforms: each relabels columns into a region
     # appended past ceil(n/128)*128 and records how to extend x at run
     # time (order matters — later transforms see the extended space)
@@ -914,6 +1215,20 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                     [xe, jnp.zeros((n_pad - n_before,), dtype), tail])
             return inner_raw(xe, *a)
 
+    if bsrc is not None:
+        unperm_call, bsrc_d = _make_unpermute(
+            bsrc, dtype,
+            interpret if interpret is not None else _auto_interpret())
+        mbp = bsrc.shape[0]
+        sorted_raw = raw
+
+        def raw(x, bsrc_a, *a):  # noqa: F811
+            y = sorted_raw(x, *a)                    # (m_pad,) sorted
+            y2 = unperm_call(y.reshape(mbp, BR), bsrc_a)
+            return y2.reshape(-1)[:m_orig]
+
+        args = (bsrc_d, *args)
+
     lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
@@ -922,6 +1237,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                           "chunk": chunk, "quantum": quantum,
                           "window_h": window_h, "hot_cols": n_hot,
                           "scheme": use_scheme,
+                          "row_sort": bsrc is not None,
                           "split_shift": bool(
                               extenders and extenders[0][1] is None)})
 

@@ -138,15 +138,13 @@ def bind(raw, args, prep_x=None, post=None):
 def pick_auto(A: CSR) -> str:
     """Heuristic strategy choice. On TPU the Pallas paths are the only
     performant ones (XLA gather/scatter lower to near-scalar loops —
-    measured ~0.1-0.3 GFLOPS); PELL handles every matrix whose x fits
-    the VMEM budget. On CPU backends XLA segment-sum is fine."""
+    measured ~0.1-0.3 GFLOPS); PELL handles every matrix — large-n
+    matrices go through its column-striped fused path. On CPU backends
+    XLA segment-sum is fine."""
     from spmv_scpa_tpu.utils.platform import is_tpu
     if not is_tpu():
         return "xla-csr-segsum"
-    from spmv_scpa_tpu.ops.pallas_kernels import X_VMEM_BUDGET
-    if A.n * 4 <= X_VMEM_BUDGET:
-        return "pallas-pell"
-    return "xla-csr-segsum"
+    return "pallas-pell"
 
 
 # ---------------------------------------------------------------------------
@@ -272,6 +270,44 @@ def _ensure_builtin():
     register(StrategySpec("xla-dense", "DENSE", "xla",
                           "tiny-matrix regime (SURVEY.md section 6)",
                           prepare=_prep_xla_dense))
+
+    def _prep_omp(A: CSR, kind: str, nthreads: int = 0, **_):
+        from spmv_scpa_tpu.formats.ell import csr_to_ell
+        from spmv_scpa_tpu.ops import native_omp
+        if not native_omp.available():
+            raise ValueError("native OpenMP library unavailable "
+                             "(g++ -fopenmp required; see native/)")
+        nblocks = None
+        if kind == "guided":
+            fn = native_omp.make_csr_omp_guided(A, nthreads)
+        elif kind == "nnz":
+            fn = native_omp.make_csr_omp_nnz(A, nthreads or 1)
+        else:
+            E = csr_to_ell(A, slice_h=32, col_major=True,
+                           pad_mode="last")
+            fn = native_omp.make_ell_omp(E, nthreads)
+            nblocks = E.num_slices
+        return Prepared(f"omp-csr-{kind}" if kind != "ell" else "omp-ell",
+                        A.name, fn, on_device=False, nnz=A.nnz,
+                        hbm_bytes=A.nnz * 12,
+                        meta={"num_blocks": nblocks,
+                              "num_threads": nthreads})
+
+    register(StrategySpec("omp-csr-guided", "CSR", "host",
+                          "csr_spmv_omp_guided csr.c:278-298 "
+                          "(native/spmv_omp.cpp)",
+                          prepare=lambda A, **kw: _prep_omp(A, "guided",
+                                                            **kw)))
+    register(StrategySpec("omp-csr-nnz", "CSR", "host",
+                          "csr_spmv_omp_nnz_balancing csr.c:218-339 "
+                          "(native/spmv_omp.cpp)",
+                          prepare=lambda A, **kw: _prep_omp(A, "nnz",
+                                                            **kw)))
+    register(StrategySpec("omp-ell", "HLL", "host",
+                          "hll_spmv_omp hll.c:178-211 "
+                          "(native/spmv_omp.cpp)",
+                          prepare=lambda A, **kw: _prep_omp(A, "ell",
+                                                            **kw)))
 
     # Pallas strategies register themselves on import; tolerate absence
     # (e.g. stripped builds) but not real import errors.

@@ -126,6 +126,41 @@ def powerlaw_csr(m: int, n: int | None = None, avg_nnz: int = 8,
     return CSR.from_coo(name, m, n, rows[first], cols[first], vals)
 
 
+def webbase_csr(m: int = 1_000_000, avg_nnz: float = 3.1,
+                local_frac: float = 0.8, locality: int = 2000,
+                alpha: float = 1.8, seed: int = 0,
+                name: str = "synth_webbase") -> CSR:
+    """Structurally faithful webbase-1M stand-in (the reference's
+    hardest power-law matrix: 1M rows, ~3.1M nnz, best CUDA CSR ≈ 14
+    GFLOPS — BASELINE.md).
+
+    Web-graph structure, unlike ``powerlaw_csr``'s uniform scatter:
+    most links are INTRA-DOMAIN (nearby page ids — pages of a site are
+    crawled together), so ~``local_frac`` of columns fall within
+    ``locality`` of the diagonal; the rest go to global hub pages
+    (Zipf-popular columns). Row lengths are Zipf (most pages have few
+    outlinks; hubs have thousands). ``powerlaw_csr`` remains the
+    adversarial no-locality stress case.
+    """
+    n = m
+    rng = np.random.default_rng(seed)
+    lens = np.minimum(rng.zipf(alpha, size=m), 50_000)
+    # scale to the target average
+    total_target = int(m * avg_nnz)
+    lens = np.maximum(1, (lens * (total_target / lens.sum())).astype(
+        np.int64))
+    total = int(lens.sum())
+    rows = np.repeat(np.arange(m), lens)
+    local = rng.integers(-locality, locality + 1, size=total)
+    hub = (rng.zipf(1.3, size=total) - 1) % n
+    use_local = rng.random(total) < local_frac
+    cols = np.where(use_local, np.clip(rows + local, 0, n - 1), hub)
+    key = rows * n + cols
+    _, first = np.unique(key, return_index=True)
+    vals = rng.standard_normal(first.shape[0])
+    return CSR.from_coo(name, m, n, rows[first], cols[first], vals)
+
+
 def diag_csr(m: int, name: str = "synth_diag") -> CSR:
     i = np.arange(m)
     return CSR.from_coo(name, m, m, i, i, 1.0 + i.astype(np.float64))
@@ -148,4 +183,5 @@ ARCHETYPES = {
     "stencil": stencil_csr,
     "random": random_csr,
     "powerlaw": powerlaw_csr,
+    "webbase": webbase_csr,
 }

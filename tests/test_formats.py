@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from spmv_scpa_tpu.formats.bcsr import csr_to_bcsr
-from spmv_scpa_tpu.formats.csr import CSR, partition_rows_by_nnz, partition_tiles_by_nnz
+from spmv_scpa_tpu.formats.csr import CSR, partition_rows_by_nnz
 from spmv_scpa_tpu.formats.ell import csr_to_ell
 from spmv_scpa_tpu.formats.panel_ell import csr_to_pell
 from spmv_scpa_tpu import testing as synth
@@ -143,13 +143,3 @@ def test_partition_rows_by_nnz():
         assert nnz_per.max() <= 2 * ideal + max_row
 
 
-def test_partition_tiles_by_nnz():
-    A = synth.powerlaw_csr(300, 300, seed=11)
-    bounds = partition_tiles_by_nnz(A.irp, max_nnz_per_tile=64)
-    assert bounds[0] == 0 and bounds[-1] == A.m
-    spans = np.diff(bounds)
-    assert (spans >= 1).all()
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        tile_nnz = int(A.irp[hi] - A.irp[lo])
-        # within budget unless the tile is a single oversized row
-        assert tile_nnz <= 64 or hi - lo == 1

@@ -99,6 +99,38 @@ def test_empty_windows_all_empty_matrix():
         assert np.all(got == 0.0), s
 
 
+def test_pell_row_sort_matches_oracle():
+    """Rank-sort row clustering (the power-law densifier) + its
+    one-hot un-permute pass must be exact, including empty rows and a
+    non-multiple-of-1024 row count."""
+    from spmv_scpa_tpu import testing as synth
+    for A in (synth.powerlaw_csr(3000, 2000, seed=31),
+              synth.banded_csr(1500, row_nnz=5, bandwidth=40, seed=4)):
+        x = make_x(A.n)
+        expected = spmv_oracle(A, x)
+        prep = get_strategy("pallas-pell").prepare(
+            A, chunk=8, quantum=8, row_sort=True)
+        assert prep.meta["row_sort"]
+        got = np.asarray(prep.fn(x), dtype=np.float64)
+        assert got.shape == (A.m,)
+        validate_result(expected, got, what=f"pell-rowsort {A.name}")
+
+
+def test_pell_column_striped_large_n():
+    """x beyond the VMEM budget triggers the column-striped fused path
+    (one jit program summing per-stripe y) instead of the round-1 XLA
+    cliff. Budget forced tiny so a small matrix exercises it."""
+    from spmv_scpa_tpu import testing as synth
+    A = synth.banded_csr(300, 2000, row_nnz=7, bandwidth=900, seed=13)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    prep = get_strategy("pallas-pell").prepare(
+        A, chunk=4, x_vmem_budget=4096)  # 512-col stripes -> 4 stripes
+    assert prep.meta.get("stripes", 0) >= 2
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    validate_result(expected, got, what="pell-striped")
+
+
 def test_spmm_oracle_matches_dense():
     from spmv_scpa_tpu import testing as synth
     A = synth.random_csr(50, 60, density=0.05, seed=8)

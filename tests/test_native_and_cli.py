@@ -146,3 +146,26 @@ def test_cli_print_result(mtx_file, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "y[:3] =" in out
+
+
+def test_native_omp_kernels_match_oracle():
+    """Native C++/OpenMP kernels (native/spmv_omp.cpp) vs the fp64
+    oracle — the reference's OpenMP family (csr.c:218-339,
+    hll.c:178-211) with a thread sweep."""
+    import numpy as np
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops import native_omp
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    from spmv_scpa_tpu.ops.registry import get_strategy
+    from spmv_scpa_tpu.utils.vector import make_x
+    if not native_omp.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    A = synth.powerlaw_csr(1500, 1200, seed=21)
+    x = make_x(A.n)
+    gold = spmv_oracle(A, x)
+    for name in ("omp-csr-guided", "omp-csr-nnz", "omp-ell"):
+        for nt in (1, 4):
+            prep = get_strategy(name).prepare(A, nthreads=nt)
+            got = prep.fn(x)
+            assert np.linalg.norm(got - gold) < 1e-9, (name, nt)
