@@ -49,6 +49,12 @@ def main() -> int:
     ap.add_argument("--subprocess", action="store_true",
                     help="isolate each run in a subprocess "
                          "(reference semantics)")
+    ap.add_argument("--host-parallel", action="store_true",
+                    help="also run the native OpenMP thread sweep")
+    ap.add_argument("--distributed", action="store_true",
+                    help="also benchmark the row-sharded path")
+    ap.add_argument("--spmm-cols", type=int, default=0)
+    ap.add_argument("--chunks", default=None)
     args = ap.parse_args()
 
     specs: list[str] = []
@@ -67,6 +73,14 @@ def main() -> int:
                 argv.append("-d")
             if args.bench:
                 argv += ["-b", args.bench]
+            if args.host_parallel:
+                argv.append("--host-parallel")
+            if args.distributed:
+                argv.append("--distributed")
+            if args.spmm_cols:
+                argv += ["--spmm-cols", str(args.spmm_cols)]
+            if args.chunks:
+                argv += ["--chunks", args.chunks]
             if args.subprocess:
                 rc = subprocess.run(
                     [sys.executable, "-m", "spmv_scpa_tpu.cli", *argv],

@@ -30,7 +30,7 @@ log = logging.getLogger("spmv_scpa_tpu.bench")
 
 # Device-strategy tuning sweep: tiles per Pallas grid step — the
 # analog of the reference's warps_per_block in {2,4,8} (main.c:265-269).
-DEFAULT_CHUNKS = (16, 32, 64)
+DEFAULT_CHUNKS = (32, 64, 128)
 
 
 @dataclass
@@ -52,6 +52,9 @@ class RunConfig:
     # multi-vector SpMM width (BASELINE.json config 3); 0 = SpMV only.
     # No reference analog — the reference is single-vector.
     spmm_cols: int = 0
+    # also benchmark the distributed row-sharded path (config 5) on
+    # this host's devices, logged under strategy id 9
+    distributed: bool = False
     # Filled by run_benchmarks: (strategy, chunk, reason) for every
     # strategy x chunk cell that produced no CSV row — a sweep must not
     # silently "pass" with most strategies missing (VERDICT r1 weak 8).
@@ -152,6 +155,12 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 log.info("%-16s chunk=%-3s %10.4f ms %8.2f GFLOPS",
                          name, chunk or "-", r.duration_ms, r.gflops)
 
+        # --- distributed row-sharded SpMV (ABSENT-IN-REF; BASELINE
+        # config 5) on however many devices this host has — logged
+        # under its reserved strategy id (bench/logger.py) ---
+        if cfg.distributed:
+            _run_distributed(A, x, golden, cfg, logger, results)
+
         # --- multi-vector SpMM (config 3; no reference analog) ---
         if cfg.spmm_cols:
             _run_spmm(A, cfg, logger, results)
@@ -189,6 +198,43 @@ def _run_spmm(A, cfg, logger, results):
                                  dict(prep.meta)))
         log.info("%-20s cols=%-3d %10.4f ms %8.2f GFLOPS",
                  name, cfg.spmm_cols, r.duration_ms, r.gflops)
+
+
+def _run_distributed(A, x, golden, cfg, logger, results):
+    """Row-sharded distributed SpMV row (strategy id 9): on the real
+    TPU this is a 1-device mesh (one chip available here); on CPU hosts
+    it uses the virtual devices. Validates + logs like any kernel."""
+    import jax
+
+    from spmv_scpa_tpu.parallel.distributed import (
+        make_mesh, prepare_row_sharded_pell)
+    from spmv_scpa_tpu.utils.platform import is_tpu
+
+    devices = (jax.devices() if is_tpu()
+               else jax.devices("cpu"))
+    mesh = make_mesh(devices=devices)
+    try:
+        dist = prepare_row_sharded_pell(A, mesh=mesh)
+        r = time_prepared_raw(dist.raw, dist.args, x, nnz=A.nnz)
+        rel = _check(cfg, golden, r.data, "distributed-rowshard")
+    except Exception as e:
+        log.warning("distributed-rowshard skipped: %s", e)
+        cfg.skipped.append(("distributed-rowshard", len(devices),
+                            f"{type(e).__name__}: {e}"))
+        return
+    logger.log_device(matrix=A.name, fmt="PELL",
+                      kernel="distributed-rowshard", chunk=len(devices),
+                      rows=A.m, cols=A.n, nnz=A.nnz, num_blocks=None,
+                      duration_ms=r.duration_ms, gflops=r.gflops)
+    results.append(RowResult("distributed-rowshard", "PELL",
+                             len(devices), r, rel))
+    log.info("distributed-rowshard devices=%d %10.4f ms %8.2f GFLOPS",
+             len(devices), r.duration_ms, r.gflops)
+
+
+def time_prepared_raw(raw, args, x, *, nnz):
+    from spmv_scpa_tpu.bench.timing import time_device_fn
+    return time_device_fn(raw, x, args=args, nnz=nnz)
 
 
 def _run_host_parallel(A, x, golden, cfg, logger, results):

@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--bench", default=None,
                    help="comma-separated strategy filter "
                         "(dead flag in the reference, live here)")
-    p.add_argument("--chunks", default="16,32,64",
+    p.add_argument("--chunks", default="32,64,128",
                    help="device kernel tile-chunk sweep")
     p.add_argument("--quantum", type=int, default=None,
                    help="PELL slot quantum (8/16/32/64/128)")
@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spmm-cols", type=int, default=0,
                    help="also benchmark multi-vector SpMM at this width")
     p.add_argument("--seed", type=int, default=42, help="x vector seed")
+    p.add_argument("--distributed", action="store_true",
+                   help="also benchmark the row-sharded distributed "
+                        "path (strategy id 9)")
     p.add_argument("--host-parallel", action="store_true",
                    help="also run XLA-on-CPU rows (OpenMP analog)")
     p.add_argument("--print-result", type=int, default=0, metavar="N",
@@ -143,6 +146,7 @@ def main(argv=None) -> int:
         host_parallel=args.host_parallel,
         params=params,
         spmm_cols=args.spmm_cols,
+        distributed=args.distributed,
     )
     try:
         results = run_benchmarks(A, cfg)

@@ -1120,7 +1120,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  split_shift: bool = False, scheme: str = "auto",
                  epilogue_passes: int = 3, dedup_max: int = 0,
                  span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
-                 row_sort: bool = False,
+                 row_sort: bool | str = "auto",
                  interpret: bool | None = None, Prepared=None, **_):
     # x too big for VMEM → column-striped fused kernels (one jit
     # program summing per-stripe y) instead of the XLA cliff
@@ -1132,8 +1132,21 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
             epilogue_passes=epilogue_passes, interpret=interpret)
     # Row-space transform: rank-sort clustering for scattered matrices
     # (undone on device by the _make_unpermute one-hot pass).
+    # "auto": enable when the (8-row block, panel) buckets are thin —
+    # a cheap O(nnz) estimate of the quantum-level fill.
     m_orig = A.m
     bsrc = None
+    if row_sort == "auto":
+        if A.nnz:
+            npan = max(1, -(-A.n // BC))
+            bkey = ((A.row_ids().astype(np.int64) // BR) * npan
+                    + A.ja // BC)
+            nb = np.unique(bkey).shape[0]
+            # avg bucket nnz vs the 8*quantum minimum slot cost: sort
+            # when quantum-level fill would land under ~0.2
+            row_sort = A.nnz / max(nb, 1) < 1.6 * quantum
+        else:
+            row_sort = False
     if row_sort:
         sigma, bsrc = _rank_sort_sigma(A)
         m_pad = bsrc.shape[0] * BR
