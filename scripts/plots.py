@@ -120,7 +120,8 @@ def plot_device(df, out):
     ax.set_xlabel("chunk (tiles per grid step)")
     ax.set_ylabel("avg GFLOP/s")
     ax.set_title("Device chunk scaling by nnz bin")
-    ax.legend(fontsize=6)
+    if ax.get_legend_handles_labels()[0]:
+        ax.legend(fontsize=6)
     fig.tight_layout()
     fig.savefig(os.path.join(out, "device_chunk_scaling.png"), dpi=120)
     plt.close(fig)

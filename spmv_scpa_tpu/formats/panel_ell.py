@@ -61,8 +61,8 @@ class PanelEll:
     nnz: int
     quantum: int
     vals: np.ndarray     # (T, 8, 128) float64 host / cast on device
-    lcol: np.ndarray     # (T, 8, 128) int32, values in [0, 128)
-    panel: np.ndarray    # (T,) int32
+    lcol: np.ndarray     # (T, 8, 128) int32, values in [0, 128*panel_w)
+    panel: np.ndarray    # (T,) int32 — superpanel id (panel_w x panels)
     rowblk: np.ndarray   # (T, nq) int32; mb = dump block for padding
     # Window grouping for the scatter-free epilogue
     # (ops/segsum_kernel.py): window w covers 8-row blocks
@@ -73,6 +73,13 @@ class PanelEll:
     window: np.ndarray | None = None   # (T,) int32, non-decreasing
     rbl: np.ndarray | None = None      # (T, nq) int32 window-local;
                                        # window_h == padding sentinel
+    # Superpanel width: a tile's x reach is ``panel_w`` consecutive
+    # 128-col panels (kernel gathers per 128-strip and selects by
+    # lcol // 128). Widens (row-block, panel) buckets ``panel_w``-fold
+    # — the fill unlock for scattered short rows (webbase archetype:
+    # an (8-row, 128-col) bucket holds ~0.6 entries; at panel_w=8 it
+    # holds ~5, cutting the 8-slot-per-bucket quantum waste).
+    panel_w: int = 1
 
     @property
     def num_windows(self) -> int:
@@ -92,7 +99,7 @@ class PanelEll:
 
     @property
     def num_panels(self) -> int:
-        return (self.n + BC - 1) // BC
+        return -(-self.n // (BC * self.panel_w))
 
     @property
     def fill(self) -> float:
@@ -107,7 +114,7 @@ class PanelEll:
         out = np.zeros((self.m, self.n), dtype=np.float64)
         q = self.quantum
         for t in range(self.num_tiles):
-            c0 = int(self.panel[t]) * BC
+            c0 = int(self.panel[t]) * BC * self.panel_w
             for lane in range(BC):
                 rb = int(self.rowblk[t, lane // q])
                 if rb >= self.num_row_blocks:
@@ -127,7 +134,7 @@ DEFAULT_CHUNK_ALIGN = 16  # tiles-per-grid-step alignment within windows
 def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
                 window_h: int = DEFAULT_WINDOW_H,
                 chunk_align: int = DEFAULT_CHUNK_ALIGN,
-                min_chunk_align: int = 1) -> PanelEll:
+                min_chunk_align: int = 1, panel_w: int = 1) -> PanelEll:
     """Convert CSR → PELL (vectorized single pass).
 
     Spiritual port of ``csr_to_hll`` (hll.c:19-95): instead of padding
@@ -145,6 +152,9 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
     """
     if BC % quantum != 0:
         raise ValueError(f"quantum must divide {BC}")
+    if panel_w not in (1, 2, 4, 8):
+        raise ValueError("panel_w must be 1, 2, 4, or 8")
+    spw = BC * panel_w   # superpanel width in columns
     nq = BC // quantum
     mb = (A.m + BR - 1) // BR
     num_win = max(1, -(-mb // window_h))
@@ -164,11 +174,12 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
                         window=np.repeat(
                             np.arange(num_win, dtype=np.int32),
                             chunk_align),
-                        rbl=np.full((t0, nq), window_h, np.int32))
+                        rbl=np.full((t0, nq), window_h, np.int32),
+                        panel_w=panel_w)
 
-    pn = cols // BC
+    pn = cols // spw
     rb = rows // BR
-    npan = (A.n + BC - 1) // BC
+    npan = -(-A.n // spw)
 
     # --- per-(row, panel) run slots (CSR order => runs contiguous) ---
     idx = np.arange(nnz, dtype=np.int64)
@@ -256,7 +267,7 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
     out_vals = np.zeros((T, BR, BC), dtype=np.float64)
     out_lcol = np.zeros((T, BR, BC), dtype=np.int32)
     out_vals[tile, ri, lane] = A.as_
-    out_lcol[tile, ri, lane] = (cols % BC).astype(np.int32)
+    out_lcol[tile, ri, lane] = (cols % spw).astype(np.int32)
 
     # --- per-quantum rowblk metadata (global + window-local) ---
     rowblk = np.full((T, nq), mb, dtype=np.int32)
@@ -282,4 +293,4 @@ def csr_to_pell(A: CSR, quantum: int = DEFAULT_QUANTUM,
                     vals=out_vals, lcol=out_lcol,
                     panel=panel, rowblk=rowblk,
                     window_h=window_h, chunk_align=int(chunk_align),
-                    window=window, rbl=rbl)
+                    window=window, rbl=rbl, panel_w=panel_w)

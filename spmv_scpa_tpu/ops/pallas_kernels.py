@@ -410,7 +410,8 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 
 
 def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
-                  precision_passes: int, epilogue_passes: int):
+                  precision_passes: int, epilogue_passes: int,
+                  panel_w: int = 1, wide: bool = False):
     """Single-pass SpMV: tile MACs + windowed segment-sum in ONE grid
     step — per-quantum partials never round-trip through HBM and the
     epilogue's grid overhead disappears (measured 0.37 ms of 0.84 ms
@@ -418,61 +419,113 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
 
     refs: base (scalar-prefetch: window of the step's first tile),
     pan (SMEM (8,chunk)), rbl (VMEM (8,g) GLOBAL row-block per
-    quantum), x (P,128) whole, vals (chunk*8,128), [lcol int8],
-    outs[k] (h,8) k=0..W-1 at block base+k (revisit-accumulated),
-    xg (chunk,128) scratch.
+    quantum), x (P,128) whole, vals (chunk*8,128), [lcol int8,
+    [strip int8]], outs[k] (h,8) k=0..W-1 at block base+k
+    (revisit-accumulated), xg (chunk*panel_w,128) scratch.
+
+    ``panel_w > 1``: a tile's x reach is ``panel_w`` consecutive
+    128-col panels (the superpanel); lcol holds the low 7 index bits
+    and strip the panel-within-superpanel. The gather runs once per
+    strip with a select — dynamic_gather reach stays 128 lanes.
     """
     q = BC // nq
     g = chunk * nq
+    pw = panel_w
     dn1 = (((1,), (0,)), ((), ()))
 
     def kernel(base_ref, pan_ref, rbl_ref, x_ref, vals_ref, *rest):
-        if gathered:
+        if gathered and pw > 1:
+            lcol_ref, strip_ref, *outs, xg_ref = rest
+        elif gathered:
             lcol_ref, *outs, xg_ref = rest
         else:
             *outs, xg_ref = rest
         i = pl.program_id(0)
 
+        # xg is strip-major: rows [w*chunk, (w+1)*chunk) hold strip w of
+        # every tile's superpanel — strip views are contiguous slices
         for c in range(chunk):  # unrolled: c is static
-            xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
-        xv = jnp.broadcast_to(xg_ref[:][:, None, :],
-                              (chunk, BR, BC)).reshape(chunk * BR, BC)
-        if gathered:
-            xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
+            for w in range(pw):
+                xg_ref[w * chunk + c:w * chunk + c + 1, :] = \
+                    x_ref[pl.ds(pan_ref[i % 8, c] * pw + w, 1), :]
+        if gathered and pw > 1:
+            lc = lcol_ref[:]
+            # int8 loads are fine (the gather-index path) but Mosaic
+            # cannot COMPARE int8 vectors — widen once before the strip
+            # select loop
+            st = strip_ref[:].astype(jnp.int32)
+            xv = None
+            for w in range(pw):
+                xw = jnp.broadcast_to(
+                    xg_ref[w * chunk:(w + 1) * chunk, :][:, None, :],
+                    (chunk, BR, BC)).reshape(chunk * BR, BC)
+                gw = jnp.take_along_axis(xw, lc, axis=1)
+                xv = gw if xv is None else jnp.where(st == w, gw, xv)
+        else:
+            xv = jnp.broadcast_to(xg_ref[:][:, None, :],
+                                  (chunk, BR, BC)).reshape(chunk * BR, BC)
+            if gathered:
+                xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
         prod = vals_ref[:] * xv
-        lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
-        seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
-        seg_mat = (lane // q == seg).astype(jnp.bfloat16)
+        if nq == BC:
+            # quantum=1: the segment matrix is the identity — the
+            # partials ARE the products. Skip the reduce dot; values
+            # stay f32 (the epilogue's own passes do the bf16 split).
+            acc = prod
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
+            seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
+            seg_mat = (lane // q == seg).astype(jnp.bfloat16)
 
-        def dot(x):
-            return jax.lax.dot_general(
-                x, seg_mat, dimension_numbers=dn1,
-                preferred_element_type=jnp.float32)
+            def dot(x):
+                return jax.lax.dot_general(
+                    x, seg_mat, dimension_numbers=dn1,
+                    preferred_element_type=jnp.float32)
 
-        acc = None
-        rem = prod
-        for _ in range(precision_passes):
-            hi = rem.astype(jnp.bfloat16)
-            term = dot(hi)
-            acc = term if acc is None else acc + term
-            rem = rem - hi.astype(jnp.float32)
+            acc = None
+            rem = prod
+            for _ in range(precision_passes):
+                hi = rem.astype(jnp.bfloat16)
+                term = dot(hi)
+                acc = term if acc is None else acc + term
+                rem = rem - hi.astype(jnp.float32)
 
         # ---- fused windowed segment-sum (ops/segsum_kernel.py) ----
-        part = acc.reshape(chunk, BR, nq)
-        part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
         b = base_ref[i]
-        rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h            # (1, g)
-        hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
-        oh = (hh == rel).astype(jnp.bfloat16)
-        acc2 = None
-        rem = part
-        for _ in range(epilogue_passes):
-            hi = rem.astype(jnp.bfloat16)
-            term = jax.lax.dot_general(
-                oh, hi, dimension_numbers=dn1,
-                preferred_element_type=jnp.float32)
-            acc2 = term if acc2 is None else acc2 + term
-            rem = rem - hi.astype(jnp.float32)
+        if wide:
+            # Wide orientation: (8, g) @ (g, W*h) — the one-hot's block
+            # axis rides the MXU's 128-lane output dim. At q=1 the
+            # narrow form's N=8 output wastes ~94% of the MXU; wide is
+            # the only orientation that scales to nq=128.
+            part = acc.reshape(chunk, BR, nq)
+            part = jnp.transpose(part, (1, 0, 2)).reshape(BR, g)
+            rel = (rbl_ref[pl.ds(i % 8, 1), :] - b * h).reshape(g, 1)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (g, W * h), 1)
+            oh = (hh == rel).astype(jnp.bfloat16)
+            acc2 = None
+            rem = part
+            for _ in range(epilogue_passes):
+                hi = rem.astype(jnp.bfloat16)
+                term = jax.lax.dot_general(
+                    hi, oh, dimension_numbers=dn1,
+                    preferred_element_type=jnp.float32)
+                acc2 = term if acc2 is None else acc2 + term
+                rem = rem - hi.astype(jnp.float32)
+        else:
+            part = acc.reshape(chunk, BR, nq)
+            part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
+            rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h        # (1, g)
+            hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
+            oh = (hh == rel).astype(jnp.bfloat16)
+            acc2 = None
+            rem = part
+            for _ in range(epilogue_passes):
+                hi = rem.astype(jnp.bfloat16)
+                term = jax.lax.dot_general(
+                    oh, hi, dimension_numbers=dn1,
+                    preferred_element_type=jnp.float32)
+                acc2 = term if acc2 is None else acc2 + term
+                rem = rem - hi.astype(jnp.float32)
 
         prev = base_ref[jnp.maximum(i - 1, 0)]
         is_first = jnp.logical_or(i == 0, b != prev)
@@ -483,7 +536,10 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
                 o[:] = jnp.zeros_like(o)
 
         for k, o in enumerate(outs):
-            o[:] += acc2[k * h:(k + 1) * h].astype(o.dtype)
+            if wide:
+                o[:] += acc2[:, k * h:(k + 1) * h].astype(o.dtype)
+            else:
+                o[:] += acc2[k * h:(k + 1) * h].astype(o.dtype)
 
     return kernel
 
@@ -495,7 +551,8 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                      idx_dtype=None, precision_passes: int = 3,
                      epilogue_passes: int = 3,
                      force_span: int | None = None,
-                     force_tiles: int | None = None):
+                     force_tiles: int | None = None,
+                     panel_w: int = 1, wide: bool | None = None):
     """Single-kernel SpMV driver (see _fused_kernel). Input layout is
     the chunk_align=1 PELL/BCSR packing (window non-decreasing, NO
     per-window tile padding).
@@ -509,9 +566,17 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     if rbl.ndim == 1:
         rbl = rbl[:, None]
     nq = rbl.shape[1]
+    if wide is None:
+        # wide out blocks are (8, h): Mosaic needs the lane dim to be a
+        # multiple of 128 (or the full array)
+        wide = nq == BC and window_h % BC == 0
     mb = (m + BR - 1) // BR
     num_win = max(1, -(-mb // window_h))
     h = window_h
+    strip = None
+    if panel_w > 1 and lcol is not None:
+        strip = (lcol // BC).astype(np.int8)
+        lcol = lcol % BC
 
     T = vals.shape[0]
     t_pad = -(-T // chunk) * chunk
@@ -522,13 +587,15 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         vals = _pad_tiles(vals, t_pad)
         if lcol is not None:
             lcol = _pad_tiles(lcol, t_pad)
+        if strip is not None:
+            strip = _pad_tiles(strip, t_pad)
         panel = _pad_tiles(panel, t_pad)
         rbl = _pad_tiles(rbl, t_pad, fill=window_h)
         window = _pad_tiles(window, t_pad,
                             fill=int(window.max(initial=0)))
         T = t_pad
 
-    p_rows = max(1, -(-n // BC))
+    p_rows = max(1, -(-(-(-n // BC)) // panel_w) * panel_w)
     x_bytes = p_rows * BC * jnp.dtype(dtype).itemsize
     if x_bytes > X_VMEM_BUDGET:
         raise ValueError(
@@ -562,8 +629,9 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         masks[k, vk[vk < num_win]] = True
     # masks travel as a jit ARGUMENT (stacked (W, num_win*h, 1)) so
     # SPMD shards can carry per-shard visit patterns through one program
+    mask_rep = np.repeat(masks, h, axis=1)
     mask_d = jax.device_put(jnp.asarray(
-        np.repeat(masks, h, axis=1)[:, :, None]))
+        mask_rep[:, None, :] if wide else mask_rep[:, :, None]))
 
     gathered = lcol is not None
     tile_map = lambda i, base: (i, 0)  # noqa: E731
@@ -586,32 +654,52 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         inputs.append(lcol_d)
         in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
                                      memory_space=pltpu.VMEM))
+        if strip is not None:
+            strip_d = jax.device_put(jnp.asarray(
+                strip.reshape(T * BR, BC),
+                jnp.int8 if idx_dt == jnp.int8 else jnp.int32))
+            inputs.append(strip_d)
+            in_specs.append(pl.BlockSpec((chunk * BR, BC), tile_map,
+                                         memory_space=pltpu.VMEM))
 
     def out_map(k):
+        if wide:
+            return lambda i, base: (0, base[i] + k)
         return lambda i, base: (base[i] + k, 0)
 
+    out_blk = (BR, h) if wide else (h, BR)
+    out_sh = ((BR, (num_win + W - 1) * h) if wide
+              else ((num_win + W - 1) * h, BR))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(steps,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((h, BR), out_map(k),
+        out_specs=[pl.BlockSpec(out_blk, out_map(k),
                                 memory_space=pltpu.VMEM)
                    for k in range(W)],
-        scratch_shapes=[pltpu.VMEM((chunk, BC), dtype)],
+        scratch_shapes=[pltpu.VMEM((chunk * panel_w, BC), dtype)],
     )
+    slot_bytes = 4 + (1 if gathered else 0) + (1 if strip is not None
+                                               else 0)
     vmem_limit = min(
-        int(x_bytes + 4 * chunk * BR * BC * 8 + (4 << 20)), 100 << 20)
+        int(x_bytes                                # resident x
+            + 2 * chunk * BR * BC * 2 * slot_bytes  # dbl-buffered tiles
+            + W * h * g * 2                          # epilogue one-hot
+            + g * BR * 4 * 4                         # part/acc temps
+            + chunk * panel_w * BC * 4               # xg scratch
+            + W * h * BR * 4 * 2                     # out blocks
+            + (4 << 20)), 100 << 20)
     call = pl.pallas_call(
         _fused_kernel(chunk, gathered, nq, h, W,
-                      precision_passes, epilogue_passes),
+                      precision_passes, epilogue_passes,
+                      panel_w=panel_w, wide=wide),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(((num_win + W - 1) * h, BR), dtype)
+        out_shape=[jax.ShapeDtypeStruct(out_sh, dtype)
                    for _ in range(W)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=2 * T * BR * BC + 2 * steps * W * h * g * BR,
-            bytes_accessed=int(vals_d.size * (8 if gathered else 4)
-                               + x_bytes),
+            bytes_accessed=int(vals_d.size * slot_bytes + x_bytes),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -624,8 +712,12 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         zero = jnp.zeros((), dtype)
         y = None
         for k in range(W):
-            t = jnp.where(mask_a[k], outs[k][:num_win * h], zero)
+            ok = (outs[k][:, :num_win * h] if wide
+                  else outs[k][:num_win * h])
+            t = jnp.where(mask_a[k], ok, zero)
             y = t if y is None else y + t
+        if wide:
+            y = y.T                      # (num_win*h, 8): rows major
         return y.reshape(-1)[:m]
 
     return raw, (base_d, pan_d, rbl_d, mask_d, *inputs)
@@ -1113,7 +1205,7 @@ def _span_of(window: np.ndarray, group: int) -> int:
 
 
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
-                 quantum: int = DEFAULT_QUANTUM,
+                 quantum: int | str = "auto",
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
                  precision_passes: int = 3, hot_cols: int = 0,
@@ -1121,7 +1213,29 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  epilogue_passes: int = 3, dedup_max: int = 0,
                  span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
                  row_sort: bool | str = "auto",
+                 panel_w: int | str = "auto",
                  interpret: bool | None = None, Prepared=None, **_):
+    # (quantum, panel_w) auto-tuning from bucket stats: avg nnz per
+    # (8-row block, 128-col panel) bucket. Dense buckets (banded/FEM)
+    # keep the wide quantum + single panels; thin buckets (power-law,
+    # short scattered rows) need per-lane quanta and a wider x reach —
+    # measured on the webbase/powerlaw archetypes the superpanel+q1
+    # combination is a 3-5x fill unlock (docs/PERF_LOG.md round 2).
+    avg_bucket = None
+    if A.nnz and (quantum == "auto" or panel_w == "auto"
+                  or row_sort == "auto"):
+        npan1 = max(1, -(-A.n // BC))
+        bkey = ((A.row_ids().astype(np.int64) // BR) * npan1
+                + A.ja // BC)
+        nb = np.unique(bkey).shape[0]
+        avg_bucket = A.nnz / max(nb, 1)
+    if quantum == "auto":
+        quantum = (DEFAULT_QUANTUM if avg_bucket is None
+                   or avg_bucket >= 8 else
+                   2 if avg_bucket >= 1.5 else 1)
+    if panel_w == "auto":
+        panel_w = (1 if avg_bucket is None
+                   or avg_bucket >= 2 * quantum else 4)
     # x too big for VMEM → column-striped fused kernels (one jit
     # program summing per-stripe y) instead of the XLA cliff
     if -(-A.n // BC) * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
@@ -1137,16 +1251,9 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     m_orig = A.m
     bsrc = None
     if row_sort == "auto":
-        if A.nnz:
-            npan = max(1, -(-A.n // BC))
-            bkey = ((A.row_ids().astype(np.int64) // BR) * npan
-                    + A.ja // BC)
-            nb = np.unique(bkey).shape[0]
-            # avg bucket nnz vs the 8*quantum minimum slot cost: sort
-            # when quantum-level fill would land under ~0.2
-            row_sort = A.nnz / max(nb, 1) < 1.6 * quantum
-        else:
-            row_sort = False
+        # sort when quantum-level fill would land under ~0.2
+        row_sort = (avg_bucket is not None
+                    and avg_bucket < 1.6 * max(quantum, 8))
     if row_sort:
         sigma, bsrc = _rank_sort_sigma(A)
         m_pad = bsrc.shape[0] * BR
@@ -1177,23 +1284,39 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     # otherwise the window-pure scheme pads each window to a chunk
     # multiple. "fused" (the default) computes the windowed segment-sum
     # inside the tile kernel itself — partials never touch HBM.
+    # Large nq (small quantum) inflates the per-step one-hot (W*h, g):
+    # cap the chunk so g = chunk*nq stays MXU/VMEM-friendly.
+    chunk = min(chunk, max(8, 2048 // (BC // quantum)))
+
     P = None
     use_scheme = scheme
+    use_wh = window_h
     if scheme in ("auto", "fused", "span"):
-        P = csr_to_pell(A, quantum=quantum, window_h=window_h,
-                        chunk_align=1, min_chunk_align=1)
-        group = chunk if scheme != "span" else chunk * epilogue_sub
-        span = _span_of(P.window, group)
-        if span <= span_max:
-            use_scheme = "fused" if scheme in ("auto", "fused") else "span"
-        elif scheme != "auto":
-            raise ValueError(
-                f"pallas-pell: a grid step would span {span} > "
-                f"{span_max} windows; use scheme='pure', a larger "
-                "window_h, or raise span_max")
-        else:
-            use_scheme, P = "pure", None
+        # pw>1 requires the fused kernel; escalate window_h (coarser
+        # windows → smaller span) before giving up the superpanels
+        span = span_max + 1
+        for wh_try in (window_h, 2 * window_h, 4 * window_h):
+            P = csr_to_pell(A, quantum=quantum, window_h=wh_try,
+                            chunk_align=1, min_chunk_align=1,
+                            panel_w=panel_w)
+            group = chunk if scheme != "span" else chunk * epilogue_sub
+            span = _span_of(P.window, group)
+            if span <= span_max:
+                use_scheme = ("fused" if scheme in ("auto", "fused")
+                              else "span")
+                use_wh = wh_try
+                break
+            if panel_w == 1:
+                break
+        if span > span_max:
+            if scheme != "auto":
+                raise ValueError(
+                    f"pallas-pell: a grid step would span {span} > "
+                    f"{span_max} windows; use scheme='pure', a larger "
+                    "window_h, or raise span_max")
+            use_scheme, P, panel_w = "pure", None, 1
     if P is None:
+        panel_w = 1
         P = csr_to_pell(A, quantum=quantum, window_h=window_h,
                         chunk_align=chunk * epilogue_sub,
                         min_chunk_align=chunk)
@@ -1202,10 +1325,10 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         raw, args = _make_fused_spmv(
             name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
             panel=P.panel, rbl=P.rbl, window=P.window,
-            window_h=window_h, dtype=dtype, chunk=chunk,
+            window_h=use_wh, dtype=dtype, chunk=chunk,
             interpret=interpret, idx_dtype=idx_dtype,
             precision_passes=precision_passes,
-            epilogue_passes=epilogue_passes)
+            epilogue_passes=epilogue_passes, panel_w=P.panel_w)
     else:
         raw, args = _make_tile_spmv(
             name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
@@ -1243,12 +1366,15 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         args = (bsrc_d, *args)
 
     lcol_bytes = 1 if (chunk * BR) % 32 == 0 and idx_dtype is None else 4
+    if P.panel_w > 1:
+        lcol_bytes += 1 if lcol_bytes == 1 else 4   # strip plane
     return Prepared("pallas-pell", A.name, bind(raw, args), on_device=True,
                     nnz=A.nnz, raw=raw, args=args,
                     hbm_bytes=P.num_tiles * BR * BC * (4 + lcol_bytes),
                     meta={"num_blocks": P.num_tiles, "fill": P.fill,
                           "chunk": chunk, "quantum": quantum,
-                          "window_h": window_h, "hot_cols": n_hot,
+                          "window_h": use_wh, "hot_cols": n_hot,
+                          "panel_w": P.panel_w,
                           "scheme": use_scheme,
                           "row_sort": bsrc is not None,
                           "split_shift": bool(
@@ -1304,4 +1430,4 @@ def register_all(register, StrategySpec, Prepared):
         "no reference analog (single-vector only); BASELINE.json "
         "config 3: multi-vector SpMM through the MXU",
         prepare=functools.partial(prepare_bcsr_spmm, Prepared=Prepared),
-        spmm=True))
+        spmm=True, spmm_only=True))

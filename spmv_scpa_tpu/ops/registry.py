@@ -81,6 +81,7 @@ class StrategySpec:
     cite: str                         # reference file:line analog
     prepare: Callable[..., Prepared] = None
     spmm: bool = False                # supports multi-column x
+    spmm_only: bool = False           # REQUIRES 2-D (n, cols) input
 
 
 _REGISTRY: dict[str, StrategySpec] = {}
@@ -114,12 +115,25 @@ def list_strategies(backend: str | None = None,
 
 
 def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
-    """One-shot convenience: prepare + run a strategy on (A, x)."""
+    """One-shot convenience: prepare + run a strategy on (A, x).
+
+    SpMM-only strategies (``spmm_only``, e.g. ``pallas-bcsr-spmm``)
+    accept a 1-D x too: it rides column 0 of a (n, cols) block and the
+    matching y column is returned, so every ``list_strategies()`` entry
+    is drivable through this one entry point.
+    """
     if strategy == "auto":
         strategy = pick_auto(A)
-    prep = get_strategy(strategy).prepare(A, **params)
-    y = prep.fn(np.asarray(x))
-    return np.asarray(y, dtype=np.float64)
+    spec = get_strategy(strategy)
+    x = np.asarray(x)
+    squeeze = False
+    if spec.spmm_only and x.ndim == 1:
+        X = np.zeros((x.shape[0], params.get("cols", 8)), x.dtype)
+        X[:, 0] = x
+        x, squeeze = X, True
+    prep = spec.prepare(A, **params)
+    y = np.asarray(prep.fn(x), dtype=np.float64)
+    return y[:, 0] if squeeze else y
 
 
 def bind(raw, args, prep_x=None, post=None):
@@ -266,7 +280,8 @@ def _ensure_builtin():
 
     register(StrategySpec("xla-csr-segsum-spmm", "CSR", "xla",
                           "multi-vector extension (no reference analog)",
-                          prepare=_prep_xla_segsum_spmm, spmm=True))
+                          prepare=_prep_xla_segsum_spmm, spmm=True,
+                          spmm_only=True))
     register(StrategySpec("xla-dense", "DENSE", "xla",
                           "tiny-matrix regime (SURVEY.md section 6)",
                           prepare=_prep_xla_dense))

@@ -128,19 +128,29 @@ def powerlaw_csr(m: int, n: int | None = None, avg_nnz: int = 8,
 
 def webbase_csr(m: int = 1_000_000, avg_nnz: float = 3.1,
                 local_frac: float = 0.8, locality: int = 2000,
-                alpha: float = 1.8, seed: int = 0,
+                alpha: float = 1.8, copy_frac: float = 0.55,
+                site_mean: int = 64, pool_k: int = 12, seed: int = 0,
                 name: str = "synth_webbase") -> CSR:
     """Structurally faithful webbase-1M stand-in (the reference's
     hardest power-law matrix: 1M rows, ~3.1M nnz, best CUDA CSR ≈ 14
     GFLOPS — BASELINE.md).
 
     Web-graph structure, unlike ``powerlaw_csr``'s uniform scatter:
-    most links are INTRA-DOMAIN (nearby page ids — pages of a site are
-    crawled together), so ~``local_frac`` of columns fall within
-    ``locality`` of the diagonal; the rest go to global hub pages
-    (Zipf-popular columns). Row lengths are Zipf (most pages have few
-    outlinks; hubs have thousands). ``powerlaw_csr`` remains the
-    adversarial no-locality stress case.
+
+    * **Copying model** (Kumar et al., the standard web-graph
+      generative model): pages within a *site* (run of ``~site_mean``
+      consecutive page ids — crawls emit sites contiguously) share a
+      common link pool (nav bars, footers, site indexes), so
+      ``copy_frac`` of each page's links repeat site-mates' targets.
+      This row-to-row column-set correlation is what makes the
+      reference's cached-x CSR kernel reach 14 GFLOPS on the real
+      matrix (cuda_csr.cu:145-178); without it every x access misses.
+    * Remaining links: ~``local_frac`` INTRA-DOMAIN (within
+      ``locality`` of the diagonal), rest to Zipf-popular global hubs.
+    * Row lengths are Zipf (most pages have few outlinks).
+
+    ``powerlaw_csr`` remains the adversarial no-correlation stress
+    case (dc1-like, where the reference too collapses to ~3 GFLOPS).
     """
     n = m
     rng = np.random.default_rng(seed)
@@ -155,6 +165,28 @@ def webbase_csr(m: int = 1_000_000, avg_nnz: float = 3.1,
     hub = (rng.zipf(1.3, size=total) - 1) % n
     use_local = rng.random(total) < local_frac
     cols = np.where(use_local, np.clip(rows + local, 0, n - 1), hub)
+    if copy_frac > 0.0:
+        # sites: geometric runs of consecutive pages, mean site_mean
+        nsites = max(1, int(2.2 * m / site_mean))
+        sizes = rng.geometric(1.0 / site_mean, size=nsites)
+        site_of = np.repeat(np.arange(nsites),
+                            sizes)[:m].astype(np.int64)
+        if site_of.shape[0] < m:          # pad if sizes fell short
+            site_of = np.concatenate(
+                [site_of, np.full(m - site_of.shape[0], nsites - 1,
+                                  np.int64)])
+        site_start = np.full(nsites, m - 1, np.int64)
+        np.minimum.at(site_start, site_of, np.arange(m))
+        # per-site shared pool: mostly the site's OWN pages (nav/footer
+        # links target the site index — a few-hundred-id range), + hubs
+        pool_loc = rng.integers(0, 3 * site_mean, size=(nsites, pool_k))
+        pool = np.clip(site_start[:, None] + pool_loc, 0, n - 1)
+        pool_hub = (rng.zipf(1.3, size=(nsites, pool_k)) - 1) % n
+        is_hub = rng.random((nsites, pool_k)) < 0.25
+        pool = np.where(is_hub, pool_hub, pool)
+        pick = rng.integers(0, pool_k, size=total)
+        copied = pool[site_of[rows], pick]
+        cols = np.where(rng.random(total) < copy_frac, copied, cols)
     key = rows * n + cols
     _, first = np.unique(key, return_index=True)
     vals = rng.standard_normal(first.shape[0])

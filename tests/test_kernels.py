@@ -205,3 +205,46 @@ def test_pell_hot_columns_matches_oracle():
     # fill must not be worse than without the remap
     prep0 = get_strategy("pallas-pell").prepare(A, chunk=4, quantum=8)
     assert prep.meta["fill"] >= prep0.meta["fill"] * 0.9
+
+
+def test_pell_superpanel_matches_oracle():
+    """panel_w superpanels (the scattered-matrix fill unlock): every
+    (panel_w, quantum) combination — including the q=1 wide epilogue —
+    must be exact on archetypes with empty rows, scattered columns,
+    and row-sorting engaged."""
+    from spmv_scpa_tpu import testing as synth
+    for A in (synth.webbase_csr(m=6000, seed=7),
+              synth.powerlaw_csr(1500, avg_nnz=20, seed=3),
+              synth.stencil_csr(1300, points=4, run_len=6,
+                                bandwidth=200)):
+        x = make_x(A.n)
+        expected = spmv_oracle(A, x)
+        for pw, q in ((2, 2), (4, 1), (8, 1), (4, 16)):
+            prep = get_strategy("pallas-pell").prepare(
+                A, chunk=8, quantum=q, panel_w=pw)
+            got = np.asarray(prep.fn(x), dtype=np.float64)
+            validate_result(expected, got,
+                            what=f"pell pw={pw} q={q} on {A.name}")
+            assert prep.meta["panel_w"] in (1, pw)
+
+
+def test_pell_superpanel_fill_gain():
+    """The whole point of panel_w: on a scattered short-row matrix the
+    superpanel layout must raise fill substantially vs pw=1."""
+    from spmv_scpa_tpu import testing as synth
+    A = synth.webbase_csr(m=20_000, seed=7)
+    spec = get_strategy("pallas-pell")
+    f1 = spec.prepare(A, chunk=8, quantum=1, panel_w=1).meta["fill"]
+    f8 = spec.prepare(A, chunk=8, quantum=1, panel_w=8).meta["fill"]
+    assert f8 > 1.3 * f1, (f1, f8)
+
+
+def test_pell_auto_tuning_resolves():
+    """quantum/panel_w 'auto' picks sane presets per structure."""
+    from spmv_scpa_tpu import testing as synth
+    dense = get_strategy("pallas-pell").prepare(
+        synth.stencil_csr(1300, points=4, run_len=6, bandwidth=200))
+    assert dense.meta["quantum"] >= 8 and dense.meta["panel_w"] == 1
+    scat = get_strategy("pallas-pell").prepare(
+        synth.webbase_csr(m=6000, seed=7))
+    assert scat.meta["quantum"] <= 2 and scat.meta["panel_w"] > 1
