@@ -442,22 +442,29 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
             *outs, xg_ref = rest
         i = pl.program_id(0)
 
-        # xg is strip-major: rows [w*chunk, (w+1)*chunk) hold strip w of
-        # every tile's superpanel — strip views are contiguous slices
-        for c in range(chunk):  # unrolled: c is static
-            for w in range(pw):
-                xg_ref[w * chunk + c:w * chunk + c + 1, :] = \
-                    x_ref[pl.ds(pan_ref[i % 8, c] * pw + w, 1), :]
+        if pw > 1:
+            # ONE contiguous (pw, 128) slice per tile (a superpanel's
+            # strips are consecutive x rows) — pw separate 1-row slices
+            # measured ~2x the per-step cost at pw=8
+            for c in range(chunk):  # unrolled: c is static
+                xg_ref[c * pw:(c + 1) * pw, :] = \
+                    x_ref[pl.ds(pan_ref[i % 8, c] * pw, pw), :]
+        else:
+            for c in range(chunk):
+                xg_ref[c:c + 1, :] = x_ref[pl.ds(pan_ref[i % 8, c], 1), :]
         if gathered and pw > 1:
+            # tile-major → strip-major: one static sublane transpose
+            xga = jnp.transpose(xg_ref[:].reshape(chunk, pw, BC),
+                                (1, 0, 2))
             lc = lcol_ref[:]
             # int8 loads are fine (the gather-index path) but Mosaic
-            # cannot COMPARE int8 vectors — widen once before the strip
-            # select loop
+            # cannot COMPARE int8 (or bf16) vectors — widen to int32
+            # before the strip select loop
             st = strip_ref[:].astype(jnp.int32)
             xv = None
             for w in range(pw):
                 xw = jnp.broadcast_to(
-                    xg_ref[w * chunk:(w + 1) * chunk, :][:, None, :],
+                    xga[w][:, None, :],
                     (chunk, BR, BC)).reshape(chunk * BR, BC)
                 gw = jnp.take_along_axis(xw, lc, axis=1)
                 xv = gw if xv is None else jnp.where(st == w, gw, xv)
@@ -1213,14 +1220,15 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  epilogue_passes: int = 3, dedup_max: int = 0,
                  span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
                  row_sort: bool | str = "auto",
-                 panel_w: int | str = "auto",
+                 panel_w: int | str = "auto", g_max: int = 2048,
                  interpret: bool | None = None, Prepared=None, **_):
     # (quantum, panel_w) auto-tuning from bucket stats: avg nnz per
     # (8-row block, 128-col panel) bucket. Dense buckets (banded/FEM)
-    # keep the wide quantum + single panels; thin buckets (power-law,
-    # short scattered rows) need per-lane quanta and a wider x reach —
-    # measured on the webbase/powerlaw archetypes the superpanel+q1
-    # combination is a 3-5x fill unlock (docs/PERF_LOG.md round 2).
+    # keep the wide quantum + single panels; thin buckets (power-law
+    # scatter) get q=8 + panel_w=4 superpanels — measured optimum on
+    # the powerlaw archetype (10.6 vs 9.6 GF/s at pw=1; smaller quanta
+    # lose to the nq-proportional epilogue one-hot, wider superpanels
+    # to the per-strip gather+select loop — docs/PERF_LOG.md round 2).
     avg_bucket = None
     if A.nnz and (quantum == "auto" or panel_w == "auto"
                   or row_sort == "auto"):
@@ -1231,8 +1239,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         avg_bucket = A.nnz / max(nb, 1)
     if quantum == "auto":
         quantum = (DEFAULT_QUANTUM if avg_bucket is None
-                   or avg_bucket >= 8 else
-                   2 if avg_bucket >= 1.5 else 1)
+                   or avg_bucket >= 8 else 8)
     if panel_w == "auto":
         panel_w = (1 if avg_bucket is None
                    or avg_bucket >= 2 * quantum else 4)
@@ -1286,7 +1293,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     # inside the tile kernel itself — partials never touch HBM.
     # Large nq (small quantum) inflates the per-step one-hot (W*h, g):
     # cap the chunk so g = chunk*nq stays MXU/VMEM-friendly.
-    chunk = min(chunk, max(8, 2048 // (BC // quantum)))
+    chunk = min(chunk, max(8, g_max // (BC // quantum)))
 
     P = None
     use_scheme = scheme

@@ -247,4 +247,4 @@ def test_pell_auto_tuning_resolves():
     assert dense.meta["quantum"] >= 8 and dense.meta["panel_w"] == 1
     scat = get_strategy("pallas-pell").prepare(
         synth.webbase_csr(m=6000, seed=7))
-    assert scat.meta["quantum"] <= 2 and scat.meta["panel_w"] > 1
+    assert scat.meta["quantum"] == 8 and scat.meta["panel_w"] == 4
