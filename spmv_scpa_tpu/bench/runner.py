@@ -30,7 +30,7 @@ log = logging.getLogger("spmv_scpa_tpu.bench")
 
 # Device-strategy tuning sweep: tiles per Pallas grid step — the
 # analog of the reference's warps_per_block in {2,4,8} (main.c:265-269).
-DEFAULT_CHUNKS = (32, 64, 128)
+DEFAULT_CHUNKS = (32, 64, 128, 256)
 
 
 @dataclass

@@ -1215,9 +1215,9 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int | str = "auto",
                  window_h: int = DEFAULT_WINDOW_H,
                  epilogue_sub: int = 4, idx_dtype=None,
-                 precision_passes: int = 3, hot_cols: int = 0,
+                 precision_passes: int = 2, hot_cols: int = 0,
                  split_shift: bool = False, scheme: str = "auto",
-                 epilogue_passes: int = 3, dedup_max: int = 0,
+                 epilogue_passes: int = 2, dedup_max: int = 0,
                  span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
                  row_sort: bool | str = "auto",
                  panel_w: int | str = "auto", g_max: int = 2048,
@@ -1243,6 +1243,12 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     if panel_w == "auto":
         panel_w = (1 if avg_bucket is None
                    or avg_bucket >= 2 * quantum else 4)
+    if avg_bucket is not None and avg_bucket < 8 and g_max == 2048:
+        # scattered regime: epilogue window span W stays small (tiles
+        # cluster after row_sort), so a larger per-step one-hot is
+        # cheap and chunk=256 amortizes fixed step costs (measured
+        # 13.10 vs 12.63 GF/s on the powerlaw archetype)
+        g_max = 4096
     # x too big for VMEM → column-striped fused kernels (one jit
     # program summing per-stripe y) instead of the XLA cliff
     if -(-A.n // BC) * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
