@@ -157,6 +157,21 @@ def test_auto_strategy():
     validate_result(spmv_oracle(A, x), spmv(A, x), what="auto")
 
 
+def test_spmv_drives_spmm_only_strategies_with_1d_x():
+    """Every list_strategies() entry is drivable through the one-shot
+    spmv() API: SpMM-only strategies take a 1-D x via column-0
+    ride-through (the verify-skill E2E drive relies on this)."""
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops.registry import get_strategy, spmv
+    A = synth.banded_csr(100, row_nnz=6, bandwidth=30, seed=2)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    spec = get_strategy("xla-csr-segsum-spmm")
+    assert spec.spmm_only
+    validate_result(expected, spmv(A, x, "xla-csr-segsum-spmm"),
+                    what="spmm-only via spmv()")
+
+
 def test_validation_rejects_garbage():
     from spmv_scpa_tpu.errors import ValidationError
     expected = np.full(1000, 100.0)
