@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--bench", default=None,
                    help="comma-separated strategy filter "
                         "(dead flag in the reference, live here)")
-    p.add_argument("--chunks", default="32,64,128",
+    p.add_argument("--chunks", default="32,64,128,256",
                    help="device kernel tile-chunk sweep")
     p.add_argument("--quantum", type=int, default=None,
                    help="PELL slot quantum (8/16/32/64/128)")
