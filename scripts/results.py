@@ -32,6 +32,7 @@ SYNTH_SUITE = [
     "synth:random:m=30000,n=30000,density=0.0005,seed=4",             # mac_econ-ish
     "synth:powerlaw:m=100000,n=100000,avg_nnz=8,seed=5",              # no-locality stress
     "synth:webbase:m=1000000,seed=7",                                 # webbase-1M stand-in
+    "synth:amazon:m=262000,seed=6",                                   # amazon0302 stand-in
 ]
 
 

@@ -193,6 +193,25 @@ def webbase_csr(m: int = 1_000_000, avg_nnz: float = 3.1,
     return CSR.from_coo(name, m, n, rows[first], cols[first], vals)
 
 
+def amazon_csr(m: int = 262_000, avg_nnz: float = 4.7,
+               local_frac: float = 0.9, locality: int = 300,
+               alpha: float = 3.0, copy_frac: float = 0.5,
+               site_mean: int = 32, pool_k: int = 8, seed: int = 0,
+               name: str = "synth_amazon") -> CSR:
+    """amazon0302-style co-purchase graph stand-in (262k rows, ~1.2M
+    nnz, avg ~4.7/row): the reference's power-law-WITH-locality case,
+    where HLL beats CSR (37 vs 31 GFLOPS — BASELINE.md row 3). Same
+    copying-model generator as ``webbase_csr`` but with tight locality
+    (co-purchased items are catalog neighbors), thin-tailed out-degree
+    (alpha=3: product pages link a handful of items, no mega-hubs),
+    and small shared pools. Completes the scattered-matrix spectrum:
+    amazon (local) / webbase (mixed) / powerlaw (adversarial)."""
+    return webbase_csr(m=m, avg_nnz=avg_nnz, local_frac=local_frac,
+                       locality=locality, alpha=alpha,
+                       copy_frac=copy_frac, site_mean=site_mean,
+                       pool_k=pool_k, seed=seed, name=name)
+
+
 def diag_csr(m: int, name: str = "synth_diag") -> CSR:
     i = np.arange(m)
     return CSR.from_coo(name, m, m, i, i, 1.0 + i.astype(np.float64))
@@ -216,4 +235,5 @@ ARCHETYPES = {
     "random": random_csr,
     "powerlaw": powerlaw_csr,
     "webbase": webbase_csr,
+    "amazon": amazon_csr,
 }

@@ -35,6 +35,7 @@ def matrices():
         synth.banded_csr(300, 200, row_nnz=7, bandwidth=64, seed=2),
         synth.random_csr(200, 300, density=0.02, seed=3),
         synth.powerlaw_csr(400, 400, seed=4),
+        synth.amazon_csr(m=3000, seed=6),
     ]
 
 
