@@ -1213,7 +1213,7 @@ def _span_of(window: np.ndarray, group: int) -> int:
 
 def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  quantum: int | str = "auto",
-                 window_h: int = DEFAULT_WINDOW_H,
+                 window_h: int | str = "auto",
                  epilogue_sub: int = 4, idx_dtype=None,
                  precision_passes: int = 2, hot_cols: int = 0,
                  split_shift: bool = False, scheme: str = "auto",
@@ -1231,7 +1231,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     # to the per-strip gather+select loop — docs/PERF_LOG.md round 2).
     avg_bucket = None
     if A.nnz and (quantum == "auto" or panel_w == "auto"
-                  or row_sort == "auto"):
+                  or row_sort == "auto" or window_h == "auto"):
         npan1 = max(1, -(-A.n // BC))
         bkey = ((A.row_ids().astype(np.int64) // BR) * npan1
                 + A.ja // BC)
@@ -1249,6 +1249,13 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         # cheap and chunk=256 amortizes fixed step costs (measured
         # 13.10 vs 12.63 GF/s on the powerlaw archetype)
         g_max = 4096
+    if window_h == "auto":
+        # dense buckets: small windows shrink the per-step one-hot
+        # (W*h, g) — measured 82.9 vs 76.6 GF/s on the flagship at
+        # wh=48 vs 128. Scattered matrices keep 128 (fewer
+        # window x panel groups -> less tile-granule padding).
+        window_h = (48 if avg_bucket is not None and avg_bucket >= 8
+                    else DEFAULT_WINDOW_H)
     # x too big for VMEM → column-striped fused kernels (one jit
     # program summing per-stripe y) instead of the XLA cliff
     if -(-A.n // BC) * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
@@ -1318,8 +1325,6 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                 use_scheme = ("fused" if scheme in ("auto", "fused")
                               else "span")
                 use_wh = wh_try
-                break
-            if panel_w == 1:
                 break
         if span > span_max:
             if scheme != "auto":

@@ -152,8 +152,8 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
 
 
 def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
-                             quantum: int = 32, window_h: int = 128,
-                             chunk: int = 16, dtype=None,
+                             quantum: int = 16, window_h: int = 128,
+                             chunk: int = 32, dtype=None,
                              interpret: bool | None = None):
     """Distributed SpMV with the Pallas PELL kernel as the local
     compute (the production path: XLA gather/scatter are near-scalar
