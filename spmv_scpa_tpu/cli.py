@@ -84,7 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also benchmark the row-sharded distributed "
                         "path (strategy id 9)")
     p.add_argument("--host-parallel", action="store_true",
-                   help="also run XLA-on-CPU rows (OpenMP analog)")
+                   help="also run the native C++/OpenMP kernels swept "
+                        "over thread counts -> omp.csv (falls back to "
+                        "one XLA-on-CPU row if the toolchain is "
+                        "missing)")
     p.add_argument("--print-result", type=int, default=0, metavar="N",
                    help="print the first N entries of each result "
                         "vector (reference: print_result_vector)")

@@ -39,7 +39,8 @@ from spmv_scpa_tpu.formats.bcsr import csr_to_bcsr
 from spmv_scpa_tpu.formats.csr import CSR
 from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
                                              DEFAULT_WINDOW_H, csr_to_pell)
-from spmv_scpa_tpu.ops.segsum_kernel import (make_span_segsum,
+from spmv_scpa_tpu.ops.segsum_kernel import (_dot_passes,
+                                             make_span_segsum,
                                              make_window_segsum)
 
 DEFAULT_CHUNK = 64           # tiles per grid step (tunable sweep axis)
@@ -368,7 +369,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         interpret=interpret,
     )
     if scheme == "span":
-        segsum = make_span_segsum(
+        segsum, seg_args = make_span_segsum(
             base_of_step=base.astype(np.int32), num_windows=num_win,
             h=window_h, rows_per_step=group * BR, nq=nq,
             total_tile_rows=T * BR, span=span, dtype=dtype,
@@ -384,29 +385,33 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                 or not (win_of_step.reshape(-1, sub)
                         == win_of_step.reshape(-1, sub)[:, :1]).all()):
             sub //= 2
-        segsum = make_window_segsum(
+        segsum, seg_args = make_window_segsum(
             win_of_step=win_of_step[::sub], num_windows=num_win,
             h=window_h, rows_per_step=sub * chunk * BR, nq=nq,
             total_tile_rows=T * BR, dtype=dtype, interpret=interpret)
 
+    nseg = len(seg_args)
+
     if dedup_u:
-        def raw(x, pan, plidx_a, rbl_a, *tiles):
+        def raw(x, pan, plidx_a, rbl_a, *rest):
+            tiles, sa = rest[:len(rest) - nseg], rest[len(rest) - nseg:]
             xp = jnp.zeros((p_rows * BC,), dtype)
             xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
             partials = call(pan, plidx_a, xp, *tiles)    # (T*8, nq)
-            y = segsum(partials, rbl_a)                  # (num_win*h, 8)
+            y = segsum(partials, rbl_a, *sa)             # (num_win*h, 8)
             return y.reshape(-1)[:m]
 
-        return raw, (pan_d, plidx_d, rbl_d, *inputs)
+        return raw, (pan_d, plidx_d, rbl_d, *inputs, *seg_args)
 
-    def raw(x, pan, rbl_a, *tiles):
+    def raw(x, pan, rbl_a, *rest):
+        tiles, sa = rest[:len(rest) - nseg], rest[len(rest) - nseg:]
         xp = jnp.zeros((p_rows * BC,), dtype)
         xp = xp.at[:n].set(x.astype(dtype)).reshape(p_rows, BC)
         partials = call(pan, xp, *tiles)             # (T*8, nq)
-        y = segsum(partials, rbl_a)                  # (num_win*h, 8)
+        y = segsum(partials, rbl_a, *sa)             # (num_win*h, 8)
         return y.reshape(-1)[:m]
 
-    return raw, (pan_d, rbl_d, *inputs)
+    return raw, (pan_d, rbl_d, *inputs, *seg_args)
 
 
 def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
@@ -783,7 +788,7 @@ def _spmm_kernel(chunk: int, cc: int, h: int, W: int):
         sub = jax.lax.broadcasted_iota(jnp.int32, (W * h * BR, chunk * BR),
                                        0)
         oh = (sub == want).astype(jnp.bfloat16)
-        acc = _dot_passes_f32(oh, part)                # (W*h*8, cc)
+        acc = _dot_passes(oh, part, 2, jnp.float32)   # (W*h*8, cc)
         for k, o in enumerate(outs):
             o[:] += acc[k * h * BR:(k + 1) * h * BR].astype(o.dtype)
 
@@ -1029,42 +1034,68 @@ def _prepare_pell_striped(A: CSR, *, dtype, x_vmem_budget, Prepared,
     total_bytes = 0
     num_tiles = 0
     nnz_seen = 0
+    wh0 = kw.get("window_h", DEFAULT_WINDOW_H)
+    if not isinstance(wh0, int):
+        wh0 = DEFAULT_WINDOW_H
+    chunk = kw.get("chunk", DEFAULT_CHUNK)
+    span_max = kw.get("span_max", 8)
+    mb = (A.m + BR - 1) // BR
     for s in range(n_stripes):
         c0, c1 = s * ws, min((s + 1) * ws, A.n)
         sel = (A.ja >= c0) & (A.ja < c1)
         if not sel.any():
             continue
-        S = CSR.from_coo(f"{A.name}[c{c0}:{c1}]", A.m, c1 - c0,
-                         rows[sel], A.ja[sel] - c0, A.as_[sel])
+        # restrict the stripe to its ACTIVE row-block range: for
+        # banded/local matrices a column stripe touches only nearby
+        # rows, and packing the full row space would pad every empty
+        # window with sentinel tiles (span + VMEM blowup)
+        rsel = rows[sel]
+        rb0 = int(rsel.min()) // BR
+        rb1 = int(rsel.max()) // BR + 1
+        m_loc = (rb1 - rb0) * BR
+        S = CSR.from_coo(f"{A.name}[c{c0}:{c1}]", m_loc, c1 - c0,
+                         rsel - rb0 * BR, A.ja[sel] - c0, A.as_[sel])
         nnz_seen += S.nnz
-        p = csr_to_pell(S, quantum=kw.get("quantum", DEFAULT_QUANTUM),
-                        window_h=kw.get("window_h", DEFAULT_WINDOW_H),
-                        chunk_align=1, min_chunk_align=1)
+        # a stripe's nnz spread thin over the row windows can still
+        # make a grid step straddle many windows — escalate window_h
+        # until the epilogue span is bounded
+        mb_loc = rb1 - rb0
+        p = None
+        wh_used = wh0
+        for mult in (1, 2, 4, 8, 16, 0):
+            wh_used = mb_loc if mult == 0 else min(wh0 * mult, mb_loc)
+            p = csr_to_pell(S, quantum=kw.get("quantum", DEFAULT_QUANTUM),
+                            window_h=wh_used,
+                            chunk_align=1, min_chunk_align=1)
+            if (_span_of(p.window, chunk) <= span_max
+                    or wh_used >= mb_loc):
+                break
         raw, args = _make_fused_spmv(
-            name=f"pell-stripe{s}", m=A.m, n=S.n, vals=p.vals,
+            name=f"pell-stripe{s}", m=m_loc, n=S.n, vals=p.vals,
             lcol=p.lcol, panel=p.panel, rbl=p.rbl, window=p.window,
-            window_h=kw.get("window_h", DEFAULT_WINDOW_H), dtype=dtype,
-            chunk=kw.get("chunk", DEFAULT_CHUNK),
+            window_h=wh_used, dtype=dtype,
+            chunk=chunk,
             interpret=kw.get("interpret"),
             precision_passes=kw.get("precision_passes", 3),
             epilogue_passes=kw.get("epilogue_passes", 3))
-        parts.append((raw, len(args), c0, c1))
         num_tiles += p.num_tiles
         total_bytes += p.num_tiles * BR * BC * 5
-        parts[-1] = (raw, len(args), c0, c1, args)
+        parts.append((raw, len(args), c0, c1, args, rb0 * BR, m_loc))
     assert nnz_seen == A.nnz
 
     flat_args = tuple(a for part in parts for a in part[4])
-    metas = [(p[0], p[1], p[2], p[3]) for p in parts]
+    metas = [(p[0], p[1], p[2], p[3], p[5], p[6]) for p in parts]
+    m = A.m
 
     def raw_all(x, *flat):
-        y = None
+        y = jnp.zeros((m,), dtype)
         ofs = 0
-        for r, nargs, c0, c1 in metas:
+        for r, nargs, c0, c1, row0, m_loc in metas:
             t = r(x[c0:c1], *flat[ofs:ofs + nargs])
             ofs += nargs
-            y = t if y is None else y + t
-        return y if y is not None else jnp.zeros((A.m,), dtype)
+            keep = min(m_loc, m - row0)
+            y = y.at[row0:row0 + keep].add(t[:keep])
+        return y
 
     from spmv_scpa_tpu.ops.registry import bind
     return Prepared("pallas-pell", A.name, bind(raw_all, flat_args),
@@ -1162,7 +1193,7 @@ def _make_unpermute(bsrc: np.ndarray, dtype, interpret: bool,
             acc = None
             for i in range(BR):
                 oh = (jota == bs[:, i:i + 1]).astype(jnp.bfloat16)
-                t = _dot_passes_f32(oh, yw)          # (128, 8)
+                t = _dot_passes(oh, yw, 2, jnp.float32)  # (128, 8)
                 t = jnp.where(cm == i, t, 0.0)
                 acc = t if acc is None else acc + t
             out_ref[w * SORT_WIN:(w + 1) * SORT_WIN, :] = \
@@ -1182,20 +1213,6 @@ def _make_unpermute(bsrc: np.ndarray, dtype, interpret: bool,
     )
     bsrc_d = jax.device_put(jnp.asarray(bsrc))
     return call, bsrc_d
-
-
-def _dot_passes_f32(a_bf16_exact, b_f32, passes: int = 2):
-    """a @ b with a exact in bf16, b split into ``passes`` bf16 terms."""
-    dn = (((1,), (0,)), ((), ()))
-    acc = None
-    rem = b_f32
-    for _ in range(passes):
-        hi = rem.astype(jnp.bfloat16)
-        t = jax.lax.dot_general(a_bf16_exact, hi, dimension_numbers=dn,
-                                preferred_element_type=jnp.float32)
-        acc = t if acc is None else acc + t
-        rem = rem - hi.astype(jnp.float32)
-    return acc
 
 
 def _span_of(window: np.ndarray, group: int) -> int:
@@ -1311,6 +1328,11 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     P = None
     use_scheme = scheme
     use_wh = window_h
+    if scheme == "span" and panel_w != 1:
+        # the span scheme's tile kernel (_make_tile_spmv) has no
+        # superpanel support — silently mis-gathers if handed a
+        # panel_w>1 packing
+        panel_w = 1
     if scheme in ("auto", "fused", "span"):
         # pw>1 requires the fused kernel; escalate window_h (coarser
         # windows → smaller span) before giving up the superpanels
@@ -1351,7 +1373,8 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         raw, args = _make_tile_spmv(
             name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
             panel=P.panel, rbl=P.rbl, window=P.window,
-            window_h=window_h, dtype=dtype, chunk=chunk,
+            window_h=use_wh if use_scheme == "span" else window_h,
+            dtype=dtype, chunk=chunk,
             interpret=interpret, epilogue_sub=epilogue_sub,
             idx_dtype=idx_dtype, precision_passes=precision_passes,
             scheme=use_scheme, epilogue_passes=epilogue_passes,

@@ -96,13 +96,14 @@ def make_span_segsum(*, base_of_step: np.ndarray, num_windows: int,
     steps_pad = -(-steps // 8) * 8
 
     vis = np.unique(base_of_step)
-    masks = []
+    masks = np.zeros((W, num_windows), dtype=bool)
     for k in range(W):
-        mk = np.zeros(num_windows, dtype=bool)
         vk = vis + k
-        mk[vk[vk < num_windows]] = True
-        masks.append(jax.device_put(
-            jnp.asarray(np.repeat(mk, h)[:, None])))
+        masks[k, vk[vk < num_windows]] = True
+    # base/mask travel as jit ARGUMENTS (CLAUDE.md: closure constants
+    # get baked into the executable and re-shipped per compile)
+    mask_d = jax.device_put(jnp.asarray(
+        np.repeat(masks, h, axis=1)[:, :, None]))
 
     def kernel(base_ref, rbl_ref, part_ref, *out_refs):
         i = pl.program_id(0)
@@ -154,19 +155,19 @@ def make_span_segsum(*, base_of_step: np.ndarray, num_windows: int,
         interpret=interpret,
     )
 
-    def fn(partials, rowblk):
+    def fn(partials, rowblk, base_a, mask_a):
         rbl2 = rowblk.reshape(steps, g)
         if steps_pad != steps:
             rbl2 = jnp.pad(rbl2, ((0, steps_pad - steps), (0, 0)))
-        outs = call(base_d, rbl2, partials)
+        outs = call(base_a, rbl2, partials)
         zero = jnp.zeros((), dtype)
         y = None
         for k in range(W):
-            t = jnp.where(masks[k], outs[k][:num_windows * h], zero)
+            t = jnp.where(mask_a[k], outs[k][:num_windows * h], zero)
             y = t if y is None else y + t
         return y
 
-    return fn
+    return fn, (base_d, mask_d)
 
 
 def _dot_passes(a_exact, b_f32, passes: int, out_dtype):
@@ -259,10 +260,10 @@ def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
         interpret=interpret,
     )
 
-    def fn(partials, rbl):
+    def fn(partials, rbl, win_a):
         rbl2 = rbl.reshape(steps, g)
         if steps_pad != steps:
             rbl2 = jnp.pad(rbl2, ((0, steps_pad - steps), (0, 0)))
-        return call(win_d, rbl2, partials)
+        return call(win_a, rbl2, partials)
 
-    return fn
+    return fn, (win_d,)

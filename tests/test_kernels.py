@@ -157,6 +157,29 @@ def test_auto_strategy():
     validate_result(spmv_oracle(A, x), spmv(A, x), what="auto")
 
 
+def test_span_scheme_with_superpanels_and_escalated_window():
+    """Regression: scheme='span' must (a) repack at panel_w=1 — its
+    tile kernel has no superpanel support and silently mis-gathers —
+    and (b) pass the ESCALATED window_h to the tile kernel when the
+    requested one exceeds span_max (both returned wrong y, rel err
+    0.48 / 1.0, before the fix)."""
+    from spmv_scpa_tpu import testing as synth
+    A = synth.powerlaw_csr(1500, avg_nnz=20, seed=0)
+    x = make_x(A.n)
+    expected = spmv_oracle(A, x)
+    prep = get_strategy("pallas-pell").prepare(
+        A, chunk=8, quantum=8, panel_w=4, scheme="span")
+    assert prep.meta["panel_w"] == 1
+    validate_result(expected, np.asarray(prep.fn(x), np.float64),
+                    what="span + panel_w request")
+    prep = get_strategy("pallas-pell").prepare(
+        A, chunk=8, quantum=8, panel_w=1, scheme="span",
+        window_h=8, span_max=2)
+    assert prep.meta["window_h"] > 8  # escalated
+    validate_result(expected, np.asarray(prep.fn(x), np.float64),
+                    what="span + escalated window_h")
+
+
 def test_spmv_drives_spmm_only_strategies_with_1d_x():
     """Every list_strategies() entry is drivable through the one-shot
     spmv() API: SpMM-only strategies take a 1-D x via column-0
