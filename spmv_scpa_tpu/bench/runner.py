@@ -118,6 +118,7 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
             if spec.spmm and name.endswith("-spmm"):
                 continue  # multi-vector strategies run in _run_spmm
             chunks = cfg.chunks if spec.backend == "pallas" else (0,)
+            seen_eff = set()   # effective (capped) chunks already logged
             for chunk in chunks:
                 r = None
                 reason = None
@@ -143,17 +144,26 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 if r is None:
                     cfg.skipped.append((name, chunk, reason or "unknown"))
                     continue
-                rel = _check(cfg, golden, r.data, f"{name} chunk={chunk}",
+                # the kernel may CAP the requested chunk (g_max bound on
+                # the per-step one-hot): log the EFFECTIVE chunk and
+                # drop duplicate cells so the scaling curve is honest
+                eff = prep.meta.get("chunk", chunk) or chunk
+                if eff in seen_eff:
+                    log.info("%-16s chunk=%-3s capped to %s (dup row "
+                             "dropped)", name, chunk, eff)
+                    continue
+                seen_eff.add(eff)
+                rel = _check(cfg, golden, r.data, f"{name} chunk={eff}",
                              rtol=prep.meta.get("rtol"))
                 logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
-                                  chunk=chunk, rows=A.m, cols=A.n,
+                                  chunk=eff, rows=A.m, cols=A.n,
                                   nnz=A.nnz, num_blocks=_fmt_blocks(prep),
                                   duration_ms=r.duration_ms,
                                   gflops=r.gflops)
-                results.append(RowResult(name, spec.fmt, chunk or None, r,
+                results.append(RowResult(name, spec.fmt, eff or None, r,
                                          rel, dict(prep.meta)))
                 log.info("%-16s chunk=%-3s %10.4f ms %8.2f GFLOPS",
-                         name, chunk or "-", r.duration_ms, r.gflops)
+                         name, eff or "-", r.duration_ms, r.gflops)
 
         # --- distributed row-sharded SpMV (ABSENT-IN-REF; BASELINE
         # config 5) on however many devices this host has — logged

@@ -41,6 +41,7 @@ from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
                                              DEFAULT_WINDOW_H, csr_to_pell)
 from spmv_scpa_tpu.ops.segsum_kernel import (_dot_passes,
                                              make_span_segsum,
+                                             make_visit_masks,
                                              make_window_segsum)
 
 DEFAULT_CHUNK = 64           # tiles per grid step (tunable sweep axis)
@@ -529,15 +530,7 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
             rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h        # (1, g)
             hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
             oh = (hh == rel).astype(jnp.bfloat16)
-            acc2 = None
-            rem = part
-            for _ in range(epilogue_passes):
-                hi = rem.astype(jnp.bfloat16)
-                term = jax.lax.dot_general(
-                    oh, hi, dimension_numbers=dn1,
-                    preferred_element_type=jnp.float32)
-                acc2 = term if acc2 is None else acc2 + term
-                rem = rem - hi.astype(jnp.float32)
+            acc2 = _dot_passes(oh, part, epilogue_passes, jnp.float32)
 
         prev = base_ref[jnp.maximum(i - 1, 0)]
         is_first = jnp.logical_or(i == 0, b != prev)
@@ -634,14 +627,9 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     rbl_d = jax.device_put(jnp.asarray(rbl2))
     base_d = jax.device_put(jnp.asarray(base, jnp.int32))
 
-    vis = np.unique(base)
-    masks = np.zeros((W, num_win), dtype=bool)
-    for k in range(W):
-        vk = vis + k
-        masks[k, vk[vk < num_win]] = True
     # masks travel as a jit ARGUMENT (stacked (W, num_win*h, 1)) so
     # SPMD shards can carry per-shard visit patterns through one program
-    mask_rep = np.repeat(masks, h, axis=1)
+    mask_rep = make_visit_masks(base, num_win, W, h)
     mask_d = jax.device_put(jnp.asarray(
         mask_rep[:, None, :] if wide else mask_rep[:, :, None]))
 
@@ -827,13 +815,8 @@ def make_bcsr_spmm(A: CSR, cols: int, dtype=jnp.float32,
     base = window[::chunk].astype(np.int64)
     W = int((window.reshape(-1, chunk)[:, -1] - base).max(initial=0)) + 1
 
-    vis = np.unique(base)
-    masks = np.zeros((W, num_win), dtype=bool)
-    for k in range(W):
-        vk = vis + k
-        masks[k, vk[vk < num_win]] = True
     mask_d = jax.device_put(jnp.asarray(
-        np.repeat(masks, h * BR, axis=1)[:, :, None]))
+        make_visit_masks(base, num_win, W, h * BR)[:, :, None]))
 
     pan2 = np.zeros((steps_pad, chunk), np.int32)
     pan2[:steps] = _pad_tiles(B.col_panel, t_pad).reshape(steps, chunk)
@@ -1040,6 +1023,7 @@ def _prepare_pell_striped(A: CSR, *, dtype, x_vmem_budget, Prepared,
     chunk = kw.get("chunk", DEFAULT_CHUNK)
     span_max = kw.get("span_max", 8)
     mb = (A.m + BR - 1) // BR
+    wh_useds = []
     for s in range(n_stripes):
         c0, c1 = s * ws, min((s + 1) * ws, A.n)
         sel = (A.ja >= c0) & (A.ja < c1)
@@ -1080,6 +1064,7 @@ def _prepare_pell_striped(A: CSR, *, dtype, x_vmem_budget, Prepared,
             epilogue_passes=kw.get("epilogue_passes", 3))
         num_tiles += p.num_tiles
         total_bytes += p.num_tiles * BR * BC * 5
+        wh_useds.append(wh_used)
         parts.append((raw, len(args), c0, c1, args, rb0 * BR, m_loc))
     assert nnz_seen == A.nnz
 
@@ -1104,10 +1089,11 @@ def _prepare_pell_striped(A: CSR, *, dtype, x_vmem_budget, Prepared,
                     meta={"num_blocks": num_tiles,
                           "fill": A.nnz / max(num_tiles * BR * BC, 1),
                           "stripes": len(metas), "scheme": "fused",
-                          "chunk": kw.get("chunk", DEFAULT_CHUNK),
+                          "chunk": chunk,
                           "quantum": kw.get("quantum", DEFAULT_QUANTUM),
-                          "window_h": kw.get("window_h",
-                                             DEFAULT_WINDOW_H),
+                          # the ACTUAL per-stripe escalated window_h
+                          # (max over stripes), not the requested one
+                          "window_h": max(wh_useds, default=wh0),
                           "hot_cols": 0})
 
 
@@ -1260,12 +1246,14 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     if panel_w == "auto":
         panel_w = (1 if avg_bucket is None
                    or avg_bucket >= 2 * quantum else 4)
-    if avg_bucket is not None and avg_bucket < 8 and g_max == 2048:
+    if g_max is None:
         # scattered regime: epilogue window span W stays small (tiles
         # cluster after row_sort), so a larger per-step one-hot is
         # cheap and chunk=256 amortizes fixed step costs (measured
-        # 13.10 vs 12.63 GF/s on the powerlaw archetype)
-        g_max = 4096
+        # 13.10 vs 12.63 GF/s on the powerlaw archetype). An explicit
+        # g_max always wins.
+        g_max = (4096 if avg_bucket is not None and avg_bucket < 8
+                 else 2048)
     if window_h == "auto":
         # dense buckets: small windows shrink the per-step one-hot
         # (W*h, g) — measured 82.9 vs 76.6 GF/s on the flagship at
@@ -1274,13 +1262,18 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         window_h = (48 if avg_bucket is not None and avg_bucket >= 8
                     else DEFAULT_WINDOW_H)
     # x too big for VMEM → column-striped fused kernels (one jit
-    # program summing per-stripe y) instead of the XLA cliff
-    if -(-A.n // BC) * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
+    # program summing per-stripe y) instead of the XLA cliff.
+    # p_rows is padded to a panel_w multiple (<= 8) inside
+    # _make_fused_spmv, so the trigger uses the padded bound — a
+    # near-boundary n must stripe, not raise.
+    p_rows_pad = -(-(-(-A.n // BC)) // 8) * 8   # ceil(ceil(n/128)/8)*8
+    if p_rows_pad * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
         return _prepare_pell_striped(
             A, dtype=dtype, x_vmem_budget=x_vmem_budget,
             Prepared=Prepared, chunk=chunk, quantum=quantum,
             window_h=window_h, precision_passes=precision_passes,
-            epilogue_passes=epilogue_passes, interpret=interpret)
+            epilogue_passes=epilogue_passes, interpret=interpret,
+            span_max=span_max)
     # Row-space transform: rank-sort clustering for scattered matrices
     # (undone on device by the _make_unpermute one-hot pass).
     # "auto": enable when the (8-row block, panel) buckets are thin —
@@ -1381,16 +1374,29 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
             dedup_max=dedup_max)
     if extenders:
         inner_raw = raw
-        specs = [(nb, -(-nb // BC) * BC, hot) for nb, hot in extenders]
+        specs = [(nb, -(-nb // BC) * BC, hot is not None)
+                 for nb, hot in extenders]
+        # hot-column index vectors travel as jit ARGUMENTS (repo
+        # convention: never closure/trace constants)
+        hot_args = tuple(jax.device_put(jnp.asarray(hot))
+                         for _, hot in extenders if hot is not None)
+        n_hot = len(hot_args)
 
         def raw(x, *a):
+            hots, inner = a[:n_hot], a[n_hot:]
             xe = x.astype(dtype)
-            for n_before, n_pad, hot in specs:
-                tail = (jnp.take(xe, hot) if hot is not None
-                        else xe[64:n_before])
+            hi = 0
+            for n_before, n_pad, has_hot in specs:
+                if has_hot:
+                    tail = jnp.take(xe, hots[hi])
+                    hi += 1
+                else:
+                    tail = xe[64:n_before]
                 xe = jnp.concatenate(
                     [xe, jnp.zeros((n_pad - n_before,), dtype), tail])
-            return inner_raw(xe, *a)
+            return inner_raw(xe, *inner)
+
+        args = (*hot_args, *args)
 
     if bsrc is not None:
         unperm_call, bsrc_d = _make_unpermute(

@@ -57,6 +57,23 @@ def dot_f32_via_bf16x3(a_exact, b_f32, out_dtype=jnp.float32):
     return (dot(a, b1) + dot(a, b2) + dot(a, b3)).astype(out_dtype)
 
 
+
+def make_visit_masks(base_of_step, num_windows: int, span: int,
+                     rep: int) -> np.ndarray:
+    """Visit masks for staggered-window outputs: ``masks[k]`` is True
+    (repeated ``rep`` x per window) where some grid step writes window
+    ``base+k`` — the final y assembly sums ``where(mask[k], out_k, 0)``
+    so unvisited staggered buffers contribute nothing. Shared by the
+    fused SpMV kernel, the span epilogue, and the fused SpMM.
+    Returns bool (span, num_windows*rep)."""
+    vis = np.unique(base_of_step)
+    masks = np.zeros((span, num_windows), dtype=bool)
+    for k in range(span):
+        vk = vis + k
+        masks[k, vk[vk < num_windows]] = True
+    return np.repeat(masks, rep, axis=1)
+
+
 def make_span_segsum(*, base_of_step: np.ndarray, num_windows: int,
                      h: int, rows_per_step: int, nq: int,
                      total_tile_rows: int, span: int = 2,
@@ -95,15 +112,10 @@ def make_span_segsum(*, base_of_step: np.ndarray, num_windows: int,
     base_d = jax.device_put(jnp.asarray(base_of_step, jnp.int32))
     steps_pad = -(-steps // 8) * 8
 
-    vis = np.unique(base_of_step)
-    masks = np.zeros((W, num_windows), dtype=bool)
-    for k in range(W):
-        vk = vis + k
-        masks[k, vk[vk < num_windows]] = True
     # base/mask travel as jit ARGUMENTS (CLAUDE.md: closure constants
     # get baked into the executable and re-shipped per compile)
     mask_d = jax.device_put(jnp.asarray(
-        np.repeat(masks, h, axis=1)[:, :, None]))
+        make_visit_masks(base_of_step, num_windows, W, h)[:, :, None]))
 
     def kernel(base_ref, rbl_ref, part_ref, *out_refs):
         i = pl.program_id(0)
