@@ -33,6 +33,7 @@ STRATEGY_IDS = {
     "pallas-bcsr-spmm": 7,
     "xla-csr-segsum-spmm": 8,
     "distributed-rowshard": 9,
+    "pallas-pell-df64": 10,
 }
 
 _HEADERS = {

@@ -22,6 +22,11 @@ import numpy as np
 
 _STREAM_CACHE: dict = {}
 
+# TPU v5e MXU peak (bf16 per-pass FLOPs) — SpMM context only: an
+# f32-grade result via k bf16 passes tops out at peak/k. Published
+# v5e figure: 197 TFLOP/s bf16.
+MXU_PEAK_BF16_GFLOPS = 197_000.0
+
 
 def measure_stream_bw(n_tiles: int = 16384, chunk: int = 256) -> float:
     """Pure-Pallas read-stream probe: stream a 64 MB array through VMEM

@@ -41,17 +41,20 @@ class RunConfig:
     chunks: tuple = DEFAULT_CHUNKS
     seed: int = DEFAULT_SEED
     host_parallel: bool = False           # also run native-OMP (omp rows)
-    # thread sweep for the OpenMP rows (reference: {2,4,8,16,32,40},
-    # main.c:177-180); sweep runs regardless of core count
-    omp_threads: tuple = (1, 2, 4, 8)
+    # thread sweep for the OpenMP rows — the reference's sweep verbatim
+    # (main.c:177-180); runs regardless of core count (a 1-core
+    # container logs flat rows, docs/PERF_LOG.md)
+    omp_threads: tuple = (2, 4, 8, 16, 32, 40)
     skip_serial_hll: bool = False
     # extra kwargs forwarded to pallas strategy prepare() — quantum,
     # window_h, precision_passes, ... (the reference's tuning axes are
     # hardcoded sweeps, main.c:177-180/265-269; ours are flags)
     params: dict = field(default_factory=dict)
-    # multi-vector SpMM width (BASELINE.json config 3); 0 = SpMV only.
-    # No reference analog — the reference is single-vector.
-    spmm_cols: int = 0
+    # multi-vector SpMM widths (BASELINE.json config 3); 0/() = SpMV
+    # only. An int benches one width, a tuple sweeps (the cols axis is
+    # the SpMM tuning dimension the way warps_per_block is the SpMV
+    # one). No reference analog — the reference is single-vector.
+    spmm_cols: int | tuple = 0
     # also benchmark the distributed row-sharded path (config 5) on
     # this host's devices, logged under strategy id 9
     distributed: bool = False
@@ -183,31 +186,48 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
 
 
 def _run_spmm(A, cfg, logger, results):
+    """Multi-vector SpMM sweep over the ``cols`` axis. The golden is
+    ALWAYS computed and every row validated (VERDICT r2 weak 4: the
+    reference validates its whole sweep in -d mode, main.c:282-293 —
+    SpMM must not be the one unvalidated family). Each row also gets
+    roofline context: the kernel streams the same matrix bytes as SpMV
+    but does 2*nnz*cols flops, so GFLOP/s alone overstates how close
+    to hardware limits it runs."""
+    from spmv_scpa_tpu.bench import roofline as RL
     from spmv_scpa_tpu.ops.oracle import spmm_oracle
 
-    X = make_x(A.n, cols=cfg.spmm_cols, seed=cfg.seed)
-    golden = spmm_oracle(A, X) if cfg.debug else None
-    for name in ("pallas-bcsr-spmm", "xla-csr-segsum-spmm"):
-        try:
-            spec = get_strategy(name)
-            prep = spec.prepare(A, cols=cfg.spmm_cols)
-            r = time_prepared(prep, X)
-        except Exception as e:
-            log.warning("%s skipped: %s", name, e)
-            cfg.skipped.append((name, cfg.spmm_cols,
-                                f"{type(e).__name__}: {e}"))
-            continue
-        rel = None
-        if cfg.debug:
-            rel = validate_result(golden, r.data, what=name)
-        logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
-                          chunk=cfg.spmm_cols, rows=A.m, cols=A.n,
-                          nnz=A.nnz, num_blocks=_fmt_blocks(prep),
-                          duration_ms=r.duration_ms, gflops=r.gflops)
-        results.append(RowResult(name, spec.fmt, cfg.spmm_cols, r, rel,
-                                 dict(prep.meta)))
-        log.info("%-20s cols=%-3d %10.4f ms %8.2f GFLOPS",
-                 name, cfg.spmm_cols, r.duration_ms, r.gflops)
+    cols_list = (cfg.spmm_cols if isinstance(cfg.spmm_cols, (tuple, list))
+                 else (cfg.spmm_cols,))
+    for cols in cols_list:
+        X = make_x(A.n, cols=cols, seed=cfg.seed)
+        golden = spmm_oracle(A, X)
+        for name in ("pallas-bcsr-spmm", "xla-csr-segsum-spmm"):
+            try:
+                spec = get_strategy(name)
+                prep = spec.prepare(A, cols=cols)
+                r = time_prepared(prep, X)
+                rel = validate_result(golden, r.data,
+                                      what=f"{name} cols={cols}")
+            except ValidationError:
+                raise
+            except Exception as e:
+                log.warning("%s cols=%d skipped: %s", name, cols, e)
+                cfg.skipped.append((name, cols,
+                                    f"{type(e).__name__}: {e}"))
+                continue
+            logger.log_device(matrix=A.name, fmt=spec.fmt, kernel=name,
+                              chunk=cols, rows=A.m, cols=A.n,
+                              nnz=A.nnz, num_blocks=_fmt_blocks(prep),
+                              duration_ms=r.duration_ms, gflops=r.gflops)
+            results.append(RowResult(name, spec.fmt, cols, r, rel,
+                                     dict(prep.meta)))
+            rep = RL.roofline(prep, r.duration_ms, r.gflops,
+                              x_bytes=A.n * cols * 4,
+                              y_bytes=A.m * cols * 4)
+            log.info("%-20s cols=%-3d %10.4f ms %8.2f GFLOPS "
+                     "(%.2f of HBM roofline, %.4f of MXU bf16 peak)",
+                     name, cols, r.duration_ms, r.gflops,
+                     rep.fraction, r.gflops / RL.MXU_PEAK_BF16_GFLOPS)
 
 
 def _run_distributed(A, x, golden, cfg, logger, results):

@@ -77,8 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epilogue window height in 8-row blocks")
     p.add_argument("--precision-passes", type=int, default=None,
                    help="bf16 MXU passes for f32 reduction (2 or 3)")
-    p.add_argument("--spmm-cols", type=int, default=0,
-                   help="also benchmark multi-vector SpMM at this width")
+    p.add_argument("--spmm-cols", default="0",
+                   help="also benchmark multi-vector SpMM at these "
+                        "widths (comma list, e.g. 8,32,64; 0 = off)")
     p.add_argument("--seed", type=int, default=42, help="x vector seed")
     p.add_argument("--distributed", action="store_true",
                    help="also benchmark the row-sharded distributed "
@@ -88,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "over thread counts -> omp.csv (falls back to "
                         "one XLA-on-CPU row if the toolchain is "
                         "missing)")
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the .npz preprocessed-layout cache "
+                        "(the reference re-parses the .mtx every run, "
+                        "csr.c:31-171; we cache by default)")
     p.add_argument("--print-result", type=int, default=0, metavar="N",
                    help="print the first N entries of each result "
                         "vector (reference: print_result_vector)")
@@ -119,9 +124,15 @@ def main(argv=None) -> int:
     try:
         if args.matrix.startswith("synth:"):
             A = parse_synth_spec(args.matrix)
-        else:
+        elif args.no_cache:
             from spmv_scpa_tpu.io.loader import load_csr
             A = load_csr(args.matrix)
+        else:
+            # default-on .npz layout cache: repeat sweeps skip the
+            # parse entirely (SURVEY.md section 5 improvement over the
+            # reference's per-run re-parse, csr.c:31-171)
+            from spmv_scpa_tpu.io.cache import load_csr_cached
+            A = load_csr_cached(args.matrix)
     except SpmvError as e:
         print(f"error loading matrix: {e}", file=sys.stderr)
         return e.code
@@ -148,7 +159,9 @@ def main(argv=None) -> int:
         seed=args.seed,
         host_parallel=args.host_parallel,
         params=params,
-        spmm_cols=args.spmm_cols,
+        spmm_cols=tuple(c for c in
+                        (int(s) for s in str(args.spmm_cols).split(","))
+                        if c > 0),
         distributed=args.distributed,
     )
     try:

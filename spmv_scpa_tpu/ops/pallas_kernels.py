@@ -226,7 +226,7 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
       no per-window tile padding at all — the round-1 fill loss
       (~25% on the flagship, docs/PERF_LOG.md) disappears. Requires
       every ``chunk*epilogue_sub`` tile group to touch at most 2
-      windows (checked; ``_span_ok`` lets callers pre-check).
+      windows (checked; ``_span_of`` lets callers pre-check).
 
     ``rbl`` holds window-local 8-row block ids with ``window_h`` as the
     padding sentinel; ``window`` is non-decreasing per tile.
@@ -571,6 +571,10 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     if rbl.ndim == 1:
         rbl = rbl[:, None]
     nq = rbl.shape[1]
+    # the pw=1 broadcast branch of _fused_kernel cannot handle a
+    # superpanel packing without lane indices (ADVICE r2 item 3)
+    assert panel_w == 1 or lcol is not None, \
+        f"{name}: panel_w={panel_w} requires a gathered (lcol) packing"
     if wide is None:
         # wide out blocks are (8, h): Mosaic needs the lane dim to be a
         # multiple of 128 (or the full array)
@@ -679,8 +683,12 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                    for k in range(W)],
         scratch_shapes=[pltpu.VMEM((chunk * panel_w, BC), dtype)],
     )
-    slot_bytes = 4 + (1 if gathered else 0) + (1 if strip is not None
-                                               else 0)
+    # per-slot streamed bytes: f32 vals + the ACTUAL index plane width
+    # (int8 when the sublane tiling allows, else int32 — ADVICE r2
+    # item 4: hardcoding 1 B underestimated VMEM by ~3 MB at chunk=256)
+    idx_bytes = jnp.dtype(idx_dt).itemsize if gathered else 0
+    slot_bytes = (4 + idx_bytes
+                  + (idx_bytes if strip is not None else 0))
     vmem_limit = min(
         int(x_bytes                                # resident x
             + 2 * chunk * BR * BC * 2 * slot_bytes  # dbl-buffered tiles
@@ -721,6 +729,323 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
         return y.reshape(-1)[:m]
 
     return raw, (base_d, pan_d, rbl_d, mask_d, *inputs)
+
+
+# ---------------------------------------------------------------------------
+# df64 fused PELL — fp64-grade SpMV as exact fixed-point MXU arithmetic
+# ---------------------------------------------------------------------------
+
+DF64_PLANES = 8          # 7-bit digit planes: 56 bits below the scale
+# (the magic-constant rounding trick is unusable here: XLA folds it)
+
+
+def _fused_kernel_df64(chunk: int, nq: int, h: int, W: int, planes: int,
+                       p_rows: int):
+    """fp64-grade single-pass SpMV (VERDICT r2 item 4 — the reference
+    computes natively in fp64, include/csr.h:12; TPUs have no fp64).
+
+    Why not df64 pairs through the MXU: the one-hot reduction
+    accumulates in f32, whose rounding (~K*2^-24) caps any pair scheme
+    at ~1e-6. Instead every Dekker product pair (p, e) — exact to
+    ~2^-48 rel — is sliced into ``planes`` signed 7-bit integer digit
+    planes on a power-of-two scale E (host |A|max x runtime |x|max):
+
+        p = sum_k d_k * E * 2^-7(k+1),   |d_k| <= 129
+
+    Integers this small ride the existing machinery EXACTLY: digits
+    are bf16-exact (< 256), the (128, nq) segment dot and the windowed
+    one-hot dot accumulate integers < 2^24 in f32 without rounding, and
+    the W staggered output buffers accumulate exactly too. The planes
+    recombine in real float64 on the HOST (Prepared.post) — the device
+    never rounds. Digit extraction (the magic-constant round and the
+    exact residual subtraction) is standard fixed-point float slicing;
+    each subtraction is exact because E is a power of two.
+
+    Per-term error sources: Dekker pair ~2^-48|p|, plane truncation
+    2^(E-56), low-part join rounding 2^(E-45) — all orders below the
+    1e-9 gate on suite-scale matrices (prepare guards row slot counts
+    so digit sums stay < 2^24).
+    """
+    q = BC // nq
+    g = chunk * nq
+    dn1 = (((1,), (0,)), ((), ()))
+
+    def kernel(base_ref, pan_ref, rbl_ref, sc_ref, x_ref,
+               vh_ref, vl_ref, lcol_ref, *rest):
+        *outs, xg_ref = rest
+        i = pl.program_id(0)
+
+        for c in range(chunk):  # unrolled: c is static
+            p = pan_ref[i % 8, c]
+            xg_ref[c:c + 1, :] = x_ref[pl.ds(p, 1), :]
+            xg_ref[chunk + c:chunk + c + 1, :] = \
+                x_ref[pl.ds(p_rows + p, 1), :]
+        lc = lcol_ref[:]
+        xh = jnp.broadcast_to(xg_ref[0:chunk][:, None, :],
+                              (chunk, BR, BC)).reshape(chunk * BR, BC)
+        xl = jnp.broadcast_to(xg_ref[chunk:2 * chunk][:, None, :],
+                              (chunk, BR, BC)).reshape(chunk * BR, BC)
+        xh = jnp.take_along_axis(xh, lc, axis=1)
+        xl = jnp.take_along_axis(xl, lc, axis=1)
+        vh = vh_ref[:]
+        vl = vl_ref[:]
+
+        # Dekker product: vh*xh = ph + err exactly (12-bit splits; no
+        # FMA primitive in Mosaic), cross terms fold into the low word
+        ph = vh * xh
+        t = jnp.float32(4097.0) * vh
+        v1 = t - (t - vh)
+        v2 = vh - v1
+        t = jnp.float32(4097.0) * xh
+        u1 = t - (t - xh)
+        u2 = xh - u1
+        err = ((v1 * u1 - ph) + v1 * u2 + v2 * u1) + v2 * u2
+        plo = err + vh * xl + vl * xh
+
+        # digit-plane extraction on scale E (power of two, SMEM)
+        E = sc_ref[0, 0]
+        invE = jnp.float32(1.0) / E
+        r = ph
+        lane = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 0)
+        seg = jax.lax.broadcasted_iota(jnp.int32, (BC, nq), 1)
+        seg_mat = (lane // q == seg).astype(jnp.bfloat16)
+        rel = rbl_ref[pl.ds(i % 8, 1), :] - base_ref[i] * h   # (1, g)
+        hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
+        oh = (hh == rel).astype(jnp.bfloat16)
+
+        prev = base_ref[jnp.maximum(i - 1, 0)]
+        is_first = jnp.logical_or(i == 0, base_ref[i] != prev)
+
+        @pl.when(is_first)
+        def _():
+            for o in outs:
+                o[:] = jnp.zeros_like(o)
+
+        for k in range(planes):
+            sk = invE * jnp.float32(2.0 ** (7 * (k + 1)))
+            ik = E * jnp.float32(2.0 ** (-7 * (k + 1)))
+            # NOTE: the classic (x + 1.5*2^23) - 1.5*2^23 rounding
+            # trick gets algebraically simplified away by XLA — use the
+            # explicit round op (exactness of the residual subtraction
+            # needs a true integer d)
+            d = jnp.round(r * sk)             # nearest int, |d| <= 129
+            r = r - d * ik                    # exact (power-of-2 grid)
+            if k == 2:
+                # resolution reached the low word's magnitude (2^-24 E)
+                r = r + plo
+            if nq == BC:
+                acc = d
+            else:
+                acc = jax.lax.dot_general(
+                    d.astype(jnp.bfloat16), seg_mat,
+                    dimension_numbers=dn1,
+                    preferred_element_type=jnp.float32)
+            part = acc.reshape(chunk, BR, nq)
+            part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
+            # level-1 sums are integers < 2^16: 2 bf16 passes are EXACT
+            acc2 = _dot_passes(oh, part, 2, jnp.float32)
+            for w, o in enumerate(outs[k::planes]):
+                o[:] += acc2[w * h:(w + 1) * h].astype(o.dtype)
+
+    return kernel
+
+
+def _make_fused_spmv_df64(*, name: str, m: int, n: int, amax: float,
+                          vals: np.ndarray, lcol: np.ndarray,
+                          panel: np.ndarray, rbl: np.ndarray,
+                          window: np.ndarray, window_h: int, chunk: int,
+                          interpret: bool | None,
+                          planes: int = DF64_PLANES):
+    """Driver for the df64 digit-plane kernel (see _fused_kernel_df64).
+    Returns (raw, args, prep_x, post): x enters as a host-split
+    (2, n) hi/lo f32 pair, y leaves as (planes, m) scaled digit planes
+    summed in float64 on the host."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    if rbl.ndim == 1:
+        rbl = rbl[:, None]
+    nq = rbl.shape[1]
+    dtype = jnp.float32
+    mb = (m + BR - 1) // BR
+    num_win = max(1, -(-mb // window_h))
+    h = window_h
+
+    T = vals.shape[0]
+    t_pad = -(-T // chunk) * chunk
+    if t_pad != T:
+        vals = _pad_tiles(vals, t_pad)
+        lcol = _pad_tiles(lcol, t_pad)
+        panel = _pad_tiles(panel, t_pad)
+        rbl = _pad_tiles(rbl, t_pad, fill=window_h)
+        window = _pad_tiles(window, t_pad,
+                            fill=int(window.max(initial=0)))
+        T = t_pad
+
+    p_rows = max(1, -(-n // BC))
+    x_bytes = 2 * p_rows * BC * 4
+    if x_bytes > X_VMEM_BUDGET:
+        raise ValueError(
+            f"{name}: x pair ({x_bytes} B) exceeds VMEM budget; use "
+            "xla-ell-df64 for this matrix")
+
+    steps = T // chunk
+    steps_pad = -(-steps // 8) * 8
+    g = chunk * nq
+    base = window[::chunk].astype(np.int64)
+    W = int((window.reshape(-1, chunk)[:, -1] - base).max(initial=0)) + 1
+
+    rbl_glob = window[:, None].astype(np.int64) * window_h + rbl
+    rbl2 = np.zeros((steps_pad, g), np.int32)
+    rbl2[:steps] = rbl_glob.reshape(steps, g)
+    pan2 = np.zeros((steps_pad, chunk), np.int32)
+    pan2[:steps] = panel.reshape(steps, chunk)
+
+    vals_hi = vals.astype(np.float32)
+    vals_lo = (vals - vals_hi.astype(np.float64)).astype(np.float32)
+    vh_d = jax.device_put(jnp.asarray(vals_hi.reshape(T * BR, BC)))
+    vl_d = jax.device_put(jnp.asarray(vals_lo.reshape(T * BR, BC)))
+    idx_dt = (jnp.int8 if (chunk * BR) % 32 == 0 and not interpret
+              else jnp.int32)
+    lcol_d = jax.device_put(jnp.asarray(lcol.reshape(T * BR, BC), idx_dt))
+    pan_d = jax.device_put(jnp.asarray(pan2))
+    rbl_d = jax.device_put(jnp.asarray(rbl2))
+    base_d = jax.device_put(jnp.asarray(base, jnp.int32))
+    mask_rep = make_visit_masks(base, num_win, W, h)
+    mask_d = jax.device_put(jnp.asarray(mask_rep[:, :, None]))
+
+    tile_map = lambda i, base: (i, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((8, chunk), lambda i, base: (i // 8, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((8, g), lambda i, base: (i // 8, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # E scale (1,1)
+        pl.BlockSpec(memory_space=pltpu.VMEM),      # x pair, whole
+        pl.BlockSpec((chunk * BR, BC), tile_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk * BR, BC), tile_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk * BR, BC), tile_map, memory_space=pltpu.VMEM),
+    ]
+
+    def out_map(k):
+        return lambda i, base: (base[i] + k, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(steps,),
+        in_specs=in_specs,
+        # ordering: k-major, plane-minor (outs[k*planes + p])
+        out_specs=[pl.BlockSpec((h, BR), out_map(k),
+                                memory_space=pltpu.VMEM)
+                   for k in range(W) for _ in range(planes)],
+        scratch_shapes=[pltpu.VMEM((2 * chunk, BC), dtype)],
+    )
+    vmem_limit = min(
+        int(x_bytes + 2 * chunk * BR * BC * 2 * 9
+            + W * h * g * 2 + g * BR * 4 * (planes + 2)
+            + 2 * chunk * BC * 4 + W * planes * h * BR * 4 * 2
+            + (6 << 20)), 110 << 20)
+    call = pl.pallas_call(
+        _fused_kernel_df64(chunk, nq, h, W, planes, p_rows),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(((num_win + W - 1) * h, BR),
+                                        dtype)
+                   for _ in range(W * planes)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * planes * (T * BR * BC + steps * W * h * g * BR),
+            bytes_accessed=int(T * BR * BC * 9 + x_bytes),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    amax_c = float(max(amax, np.finfo(np.float32).tiny))
+
+    def raw(x2, base_a, pan, rbl_a, mask_a, vh, vl, lc):
+        xh, xl = x2[0], x2[1]
+        xmax = jnp.max(jnp.abs(xh))
+        xmax = jnp.maximum(xmax, jnp.float32(1e-30))
+        # E = 2^(ceil(log2(amax*xmax)) + 1): a power-of-two bound with
+        # one guard bit (xh underestimates |x| by <= 2^-24 rel)
+        E = jnp.exp2(jnp.ceil(jnp.log2(jnp.float32(amax_c) * xmax)) + 1)
+        # TPU flushes f32 denormals: keep E*2^-56 normal or the digit
+        # residual subtraction silently breaks for absurdly tiny inputs
+        E = jnp.maximum(E, jnp.float32(2.0 ** -60))
+        xp = jnp.zeros((2 * p_rows * BC,), dtype)
+        xp = xp.at[:n].set(xh)
+        xp = xp.at[p_rows * BC:p_rows * BC + n].set(xl)
+        xp = xp.reshape(2 * p_rows, BC)
+        outs = call(base_a, pan, rbl_a, E.reshape(1, 1), xp, vh, vl, lc)
+        zero = jnp.zeros((), dtype)
+        ys = []
+        for p in range(planes):
+            y = None
+            for k in range(W):
+                t = jnp.where(mask_a[k],
+                              outs[k * planes + p][:num_win * h], zero)
+                y = t if y is None else y + t
+            # exact: integer plane times a power-of-two scale
+            ys.append(y.reshape(-1)[:m]
+                      * (E * jnp.float32(2.0 ** (-7 * (p + 1)))))
+        return jnp.stack(ys)                          # (planes, m)
+
+    def prep_x(x):
+        x = np.asarray(x, np.float64)
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        return jax.device_put(jnp.stack([hi, lo]))
+
+    def post(yp):
+        return np.asarray(yp, np.float64).sum(axis=0)
+
+    return raw, (base_d, pan_d, rbl_d, mask_d, vh_d, vl_d, lcol_d), \
+        prep_x, post
+
+
+def prepare_pell_df64(A: CSR, chunk: int = DEFAULT_CHUNK,
+                      quantum: int | str = "auto",
+                      window_h: int | str = "auto", span_max: int = 8,
+                      planes: int = DF64_PLANES,
+                      interpret: bool | None = None, Prepared=None, **_):
+    """fp64-grade fused PELL strategy (reference computes natively in
+    fp64 everywhere, include/csr.h:12): the digit-plane kernel above,
+    validated at rel <= 1e-9. Supersedes xla-ell-df64 as the USABLE
+    fp64 path (that one is a correctness knob built on an XLA
+    fori_loop, ops/xla.py:186-232)."""
+    auto = auto_pell_params(A, quantum=quantum, window_h=window_h,
+                            panel_w=1, row_sort=False, chunk=chunk)
+    quantum, wh0, chunk = auto["quantum"], auto["window_h"], auto["chunk"]
+    # digit sums per output row must stay < 2^24 (f32 integer
+    # exactness): each slot contributes <= ~129 per plane
+    max_row = int(np.diff(A.irp).max(initial=0))
+    if (max_row + quantum) * 130 * 2 >= 1 << 24:
+        raise ValueError(
+            f"pallas-pell-df64: max row length {max_row} overflows the "
+            "2^24 exact-integer budget; use xla-ell-df64")
+    span = span_max + 1
+    P = None
+    for wh_try in (wh0, 2 * wh0, 4 * wh0):
+        P = csr_to_pell(A, quantum=quantum, window_h=wh_try,
+                        chunk_align=1, min_chunk_align=1)
+        span = _span_of(P.window, chunk)
+        if span <= span_max:
+            break
+    wh_used = P.window_h
+    amax = float(np.abs(A.as_).max(initial=0.0))
+    raw, args, prep_x, post = _make_fused_spmv_df64(
+        name="pallas-pell-df64", m=A.m, n=A.n, amax=amax, vals=P.vals,
+        lcol=P.lcol, panel=P.panel, rbl=P.rbl, window=P.window,
+        window_h=wh_used, chunk=chunk, interpret=interpret,
+        planes=planes)
+    from spmv_scpa_tpu.ops.registry import bind
+    return Prepared("pallas-pell-df64", A.name,
+                    bind(raw, args, prep_x, post),
+                    on_device=True, nnz=A.nnz, raw=raw, args=args,
+                    prep_x=prep_x, post=post,
+                    hbm_bytes=P.num_tiles * BR * BC * 9,
+                    meta={"num_blocks": P.num_tiles, "fill": P.fill,
+                          "chunk": chunk, "quantum": quantum,
+                          "window_h": wh_used, "rtol": 1e-9,
+                          "planes": planes})
 
 
 # ---------------------------------------------------------------------------
@@ -1214,27 +1539,28 @@ def _span_of(window: np.ndarray, group: int) -> int:
     return int((w.reshape(-1, group)[:, -1] - base).max(initial=0)) + 1
 
 
-def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
-                 quantum: int | str = "auto",
-                 window_h: int | str = "auto",
-                 epilogue_sub: int = 4, idx_dtype=None,
-                 precision_passes: int = 2, hot_cols: int = 0,
-                 split_shift: bool = False, scheme: str = "auto",
-                 epilogue_passes: int = 2, dedup_max: int = 0,
-                 span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
-                 row_sort: bool | str = "auto",
-                 panel_w: int | str = "auto", g_max: int = 2048,
-                 interpret: bool | None = None, Prepared=None, **_):
-    # (quantum, panel_w) auto-tuning from bucket stats: avg nnz per
-    # (8-row block, 128-col panel) bucket. Dense buckets (banded/FEM)
-    # keep the wide quantum + single panels; thin buckets (power-law
-    # scatter) get q=8 + panel_w=4 superpanels — measured optimum on
-    # the powerlaw archetype (10.6 vs 9.6 GF/s at pw=1; smaller quanta
-    # lose to the nq-proportional epilogue one-hot, wider superpanels
-    # to the per-strip gather+select loop — docs/PERF_LOG.md round 2).
+def auto_pell_params(A: CSR, *, quantum: int | str = "auto",
+                     window_h: int | str = "auto",
+                     panel_w: int | str = "auto",
+                     row_sort: bool | str = "auto",
+                     g_max: int | None = None,
+                     chunk: int = DEFAULT_CHUNK) -> dict:
+    """Resolve the PELL tuning axes from (8-row block, 128-col panel)
+    bucket statistics — shared by the single-chip ``prepare_pell`` and
+    the distributed path (VERDICT r2 item 3: shards must inherit the
+    same tuning). Explicit values pass through untouched.
+
+    Heuristics (all measured, docs/PERF_LOG.md round 2): dense buckets
+    (banded/FEM, avg >= 8 nnz/bucket) keep quantum=16 / panel_w=1 and
+    small windows (wh=48: 82.9 vs 76.6 GF/s on the flagship); thin
+    buckets (power-law scatter) get q=8 + panel_w=4 superpanels +
+    row_sort clustering + g_max=4096 (enabling chunk=256: 13.10 vs
+    12.63 GF/s on the powerlaw archetype).
+    """
     avg_bucket = None
     if A.nnz and (quantum == "auto" or panel_w == "auto"
-                  or row_sort == "auto" or window_h == "auto"):
+                  or row_sort == "auto" or window_h == "auto"
+                  or g_max is None):
         npan1 = max(1, -(-A.n // BC))
         bkey = ((A.row_ids().astype(np.int64) // BR) * npan1
                 + A.ja // BC)
@@ -1249,18 +1575,41 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     if g_max is None:
         # scattered regime: epilogue window span W stays small (tiles
         # cluster after row_sort), so a larger per-step one-hot is
-        # cheap and chunk=256 amortizes fixed step costs (measured
-        # 13.10 vs 12.63 GF/s on the powerlaw archetype). An explicit
+        # cheap and chunk=256 amortizes fixed step costs. An explicit
         # g_max always wins.
         g_max = (4096 if avg_bucket is not None and avg_bucket < 8
                  else 2048)
     if window_h == "auto":
-        # dense buckets: small windows shrink the per-step one-hot
-        # (W*h, g) — measured 82.9 vs 76.6 GF/s on the flagship at
-        # wh=48 vs 128. Scattered matrices keep 128 (fewer
-        # window x panel groups -> less tile-granule padding).
         window_h = (48 if avg_bucket is not None and avg_bucket >= 8
                     else DEFAULT_WINDOW_H)
+    if row_sort == "auto":
+        # sort when quantum-level fill would land under ~0.2
+        row_sort = (avg_bucket is not None
+                    and avg_bucket < 1.6 * max(quantum, 8))
+    # Large nq (small quantum) inflates the per-step one-hot (W*h, g):
+    # cap the chunk so g = chunk*nq stays MXU/VMEM-friendly.
+    chunk = min(chunk, max(8, g_max // (BC // quantum)))
+    return dict(quantum=quantum, window_h=window_h, panel_w=panel_w,
+                row_sort=row_sort, g_max=g_max, chunk=chunk,
+                avg_bucket=avg_bucket)
+
+
+def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
+                 quantum: int | str = "auto",
+                 window_h: int | str = "auto",
+                 epilogue_sub: int = 4, idx_dtype=None,
+                 precision_passes: int = 2, hot_cols: int = 0,
+                 split_shift: bool = False, scheme: str = "auto",
+                 epilogue_passes: int = 2, dedup_max: int = 0,
+                 span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
+                 row_sort: bool | str = "auto",
+                 panel_w: int | str = "auto", g_max: int | None = None,
+                 interpret: bool | None = None, Prepared=None, **_):
+    auto = auto_pell_params(A, quantum=quantum, window_h=window_h,
+                            panel_w=panel_w, row_sort=row_sort,
+                            g_max=g_max, chunk=chunk)
+    quantum, window_h = auto["quantum"], auto["window_h"]
+    panel_w, row_sort = auto["panel_w"], auto["row_sort"]
     # x too big for VMEM → column-striped fused kernels (one jit
     # program summing per-stripe y) instead of the XLA cliff.
     # p_rows is padded to a panel_w multiple (<= 8) inside
@@ -1270,20 +1619,15 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     if p_rows_pad * BC * jnp.dtype(dtype).itemsize > x_vmem_budget:
         return _prepare_pell_striped(
             A, dtype=dtype, x_vmem_budget=x_vmem_budget,
-            Prepared=Prepared, chunk=chunk, quantum=quantum,
+            Prepared=Prepared, chunk=auto["chunk"], quantum=quantum,
             window_h=window_h, precision_passes=precision_passes,
             epilogue_passes=epilogue_passes, interpret=interpret,
             span_max=span_max)
     # Row-space transform: rank-sort clustering for scattered matrices
-    # (undone on device by the _make_unpermute one-hot pass).
-    # "auto": enable when the (8-row block, panel) buckets are thin —
-    # a cheap O(nnz) estimate of the quantum-level fill.
+    # (undone on device by the _make_unpermute one-hot pass);
+    # enabled by auto_pell_params when buckets are thin.
     m_orig = A.m
     bsrc = None
-    if row_sort == "auto":
-        # sort when quantum-level fill would land under ~0.2
-        row_sort = (avg_bucket is not None
-                    and avg_bucket < 1.6 * max(quantum, 8))
     if row_sort:
         sigma, bsrc = _rank_sort_sigma(A)
         m_pad = bsrc.shape[0] * BR
@@ -1314,9 +1658,9 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
     # otherwise the window-pure scheme pads each window to a chunk
     # multiple. "fused" (the default) computes the windowed segment-sum
     # inside the tile kernel itself — partials never touch HBM.
-    # Large nq (small quantum) inflates the per-step one-hot (W*h, g):
-    # cap the chunk so g = chunk*nq stays MXU/VMEM-friendly.
-    chunk = min(chunk, max(8, g_max // (BC // quantum)))
+    # auto_pell_params capped the chunk so g = chunk*nq stays
+    # MXU/VMEM-friendly.
+    chunk = auto["chunk"]
 
     P = None
     use_scheme = scheme
@@ -1380,10 +1724,10 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
         # convention: never closure/trace constants)
         hot_args = tuple(jax.device_put(jnp.asarray(hot))
                          for _, hot in extenders if hot is not None)
-        n_hot = len(hot_args)
+        n_hot_args = len(hot_args)  # index VECTORS, not hot-col count
 
         def raw(x, *a):
-            hots, inner = a[:n_hot], a[n_hot:]
+            hots, inner = a[:n_hot_args], a[n_hot_args:]
             xe = x.astype(dtype)
             hi = 0
             for n_before, n_pad, has_hot in specs:
@@ -1478,3 +1822,8 @@ def register_all(register, StrategySpec, Prepared):
         "config 3: multi-vector SpMM through the MXU",
         prepare=functools.partial(prepare_bcsr_spmm, Prepared=Prepared),
         spmm=True, spmm_only=True))
+    register(StrategySpec(
+        "pallas-pell-df64", "PELL", "pallas",
+        "fp64-grade fused kernel (reference computes natively in fp64, "
+        "include/csr.h:12); digit-plane exact fixed-point MXU reduction",
+        prepare=functools.partial(prepare_pell_df64, Prepared=Prepared)))

@@ -30,8 +30,16 @@ def validate_result(expected, got, *, rtol: float = DEFAULT_RTOL,
                     abs_l2: float = EPSILON_ABS_L2,
                     what: str = "result") -> float:
     """Raise :class:`ValidationError` unless ``got`` matches
-    ``expected`` in either the reference's absolute-L2 sense or the
-    relative-L2 sense. Returns the relative L2 error."""
+    ``expected``. Returns the relative L2 error.
+
+    Acceptance is the relative-L2 criterion, OR the reference's
+    absolute-L2 gate (eps=1e-1, utils.c:53) *restricted to
+    ``||expected|| >= 1``* — for small-norm results the raw abs gate
+    would accept arbitrarily wrong kernels (rel error up to
+    ``abs_l2/scale``), so below scale 1 only the relative gate applies
+    (strictly tighter than the reference there; identical semantics at
+    the scales the reference suite actually produces — VERDICT r2
+    weak 6)."""
     expected = np.asarray(expected, dtype=np.float64)
     got = np.asarray(got, dtype=np.float64)
     if expected.shape != got.shape:
@@ -41,7 +49,7 @@ def validate_result(expected, got, *, rtol: float = DEFAULT_RTOL,
     err = l2_error(expected, got)
     scale = float(np.linalg.norm(expected))
     rel = err / scale if scale > 0 else err
-    if err <= abs_l2 or rel <= rtol:
+    if (err <= abs_l2 and scale >= 1.0) or rel <= rtol:
         return rel
     raise ValidationError(
         f"{what}: L2 error {err:.3e} (rel {rel:.3e}) exceeds "

@@ -76,3 +76,32 @@ def test_row_sharded_pell_multi_window_shards():
     x = make_x(A.n)
     got = np.asarray(dist.fn(x), dtype=np.float64)
     validate_result(spmv_oracle(A, x), got, what="dist-pell-multiwin")
+
+
+def test_row_sharded_pell_auto_rowsort():
+    """Scattered matrix through the distributed path: the single-chip
+    auto heuristics (row_sort clustering, q=8, superpanels) must be
+    inherited per shard (VERDICT r2 item 3) and still validate."""
+    A = synth.powerlaw_csr(1200, 1200, seed=21)
+    from spmv_scpa_tpu.ops.pallas_kernels import auto_pell_params
+    from spmv_scpa_tpu.parallel.distributed import prepare_row_sharded_pell
+    auto = auto_pell_params(A)
+    assert auto["row_sort"]  # thin buckets -> clustering engages
+    dist = prepare_row_sharded_pell(A, mesh=_cpu_mesh(4))
+    x = make_x(A.n)
+    got = np.asarray(dist.fn(x), dtype=np.float64)
+    validate_result(spmv_oracle(A, x), got, what="dist-pell-rowsort")
+
+
+def test_row_sharded_pell_mesh1_packs_like_single_chip():
+    """mesh=1 must inherit the exact single-chip auto tuning — the
+    round-2 hardcoded config cost 4.3x on scattered matrices."""
+    A = synth.banded_csr(512, row_nnz=9, bandwidth=60, seed=13)
+    from spmv_scpa_tpu.ops.pallas_kernels import auto_pell_params
+    from spmv_scpa_tpu.parallel.distributed import prepare_row_sharded_pell
+    auto = auto_pell_params(A)
+    dist = prepare_row_sharded_pell(A, mesh=_cpu_mesh(1))
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-pell-mesh1")
+    assert auto["quantum"] == 16 and auto["window_h"] == 48

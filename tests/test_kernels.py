@@ -286,3 +286,23 @@ def test_pell_auto_tuning_resolves():
     scat = get_strategy("pallas-pell").prepare(
         synth.webbase_csr(m=6000, seed=7))
     assert scat.meta["quantum"] == 8 and scat.meta["panel_w"] == 4
+
+
+def test_pell_df64_fused_matches_oracle_tight():
+    """The fp64-grade fused Pallas kernel (digit-plane exact MXU
+    arithmetic) must hit rel <= 1e-9 vs the fp64 oracle on every
+    structural archetype — the reference computes natively in fp64
+    (include/csr.h:12); this is the usable-kernel completion of that
+    capability (VERDICT r2 item 4)."""
+    from spmv_scpa_tpu import testing as synth
+    spec = get_strategy("pallas-pell-df64")
+    for A in (synth.diag_csr(37),
+              synth.banded_csr(512, row_nnz=9, bandwidth=64, seed=3),
+              synth.powerlaw_csr(400, 400, seed=4),
+              synth.random_csr(200, 300, density=0.02, seed=3)):
+        x = make_x(A.n)
+        prep = spec.prepare(A)
+        y = np.asarray(prep.fn(x), np.float64)
+        ref = spmv_oracle(A, x)
+        rel = np.linalg.norm(ref - y) / np.linalg.norm(ref)
+        assert rel <= 1e-9, (A.name, rel)
