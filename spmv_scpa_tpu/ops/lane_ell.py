@@ -1,0 +1,488 @@
+"""Lane-ELL hybrid — rows-as-lanes SpMV with local-window / hub split.
+
+This is the faithful TPU analog of the reference's WINNING CUDA HLL
+kernel, k1 thread-per-row over the col-major (coalesced) layout
+(cuda_hll.cu:49-72): consecutive GPU threads read consecutive rows'
+k-th slot. Here consecutive *lanes* are consecutive rows and the k-th
+slots form a *slot plane* — a (chunk, 128) block per plane — so the
+slot reduction is a plain sequence of f32 fused multiply-adds across
+planes. Compared with the PELL/fused one-hot path
+(ops/pallas_kernels.py) this eliminates, by construction:
+
+* the MAC segment dot and its bf16 precision passes (sums are exact
+  f32 adds — measured flagship ablation: MXU dots = 0.22 ms of
+  0.55 ms),
+* the (chunk,8,nq)->(g,8) partial transpose (0.12 ms — rows already
+  live in lanes, never in sublanes),
+* the windowed one-hot epilogue, output revisits and W-span machinery
+  (y rows are a LINEAR function of the grid step: direct writes).
+
+What remains is the x gather, organized around two observations:
+
+* **local window**: with rows in original order, row-group ``g``
+  (128 rows) reads x panels ``[g, g+S)`` of a ``loc_w``-padded x — a
+  linear window, so one contiguous VMEM slice per STEP feeds every
+  group via static sliding sub-slices (``xw[w:w+chunk]``). This is
+  the VMEM-resident analog of the reference's texture-cached x
+  (cuda_csr.cu:145-178).
+* **per-plane strip sets**: entries are packed in column order, so
+  the q-th entries of neighboring rows sit at nearly the same column
+  offset (FEM/banded matrices: patterns repeat down the band —
+  SURVEY §6). Each plane therefore touches only 1-3 of the S window
+  strips; the kernel is SPECIALIZED per plane to its measured strip
+  set (host-computed), skipping the select entirely for single-strip
+  planes. Mosaic's dynamic_gather reach is exactly 128 lanes
+  (probed), hence the per-strip gather+select.
+* **strip demotion + relocation**: the multi-strip select chain
+  measured 31% of flagship runtime, so each primary plane keeps only
+  its dominant strips (cumulative coverage >= ``strip_cov``). A
+  demoted entry RELOCATES to another plane that kept its strip —
+  plane assignment is free bin-packing (the kernel only needs the
+  entry's plane to list its strip and the (row, plane) slot to be
+  unique); leftovers land in a few catch-all overflow planes.
+* **hub split** (SURVEY §7 hard part 3): out-of-window entries
+  mostly target a few Zipf-hot columns; the top ``hot_k`` become
+  extra strips of an ``x_hot`` region gathered once per call and
+  appended to the resident x — step-invariant broadcasts.
+* **CSR tail**: per-row overflow (> Q slots) and cold scatter
+  entries. Tiny tails CANNOT ride a device strategy (every kernel's
+  grid scales with m — a 2.4k-nnz PELL tail on the 377k-row flagship
+  measured 1.75 ms): they run a compact-row XLA segment-sum +
+  unique-index scatter-add, O(tail_nnz) scalar-ish work. Big tails
+  (> ``tail_xla_max``) amortize the auto-tuned PELL path; partial
+  y's sum on device.
+
+Auto heuristics measure the entry statistics: ``loc_w`` (smallest
+window within 2% of max local coverage), ``hot_k`` (90% of the
+out-of-window coverage achievable at 2048), ``Q`` (bytes-cost model:
+each plane streams G*128*6 B vs ~2 kB/nnz effective tail cost).
+
+Flagship measured history (real v5e, 22.6M-nnz ML_Laplace stand-in):
+mixed planes 0.391 ms -> chunk=24 0.351 ms -> "nosel" diag probe
+0.243 ms = the 747 GB/s stream roofline -> demotion+relocation
+closes most of that gap (see docs/PERF_LOG.md round 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_scpa_tpu.formats.csr import CSR
+from spmv_scpa_tpu.formats.panel_ell import BC, BR
+
+X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
+
+_LOC_CHOICES = (128, 256, 512, 1024, 2048, 4096)
+_HOT_CHOICES = (128, 256, 512, 1024, 2048)
+_Q_CHOICES = (1, 2, 4, 8, 16, 24, 32, 48, 64, 80, 96, 128)
+
+
+def _auto_interpret() -> bool:
+    from spmv_scpa_tpu.utils.platform import is_tpu
+    return not is_tpu()
+
+
+def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
+                     used: tuple, diag: str = ""):
+    """One grid step = ``chunk`` row-groups of 128 rows.
+
+    ``vals``/``idx`` blocks are plane-major: rows ``q*chunk + c``.
+    ``idx`` packs (strip << 7) | lane; strips ``< S`` index the
+    step's sliding local window, strips ``>= S`` the resident hot
+    panels at ``hp0``. ``used[q]`` is the plane's static strip set.
+    y rows are direct: out block = (chunk, 128) at step index.
+    """
+
+    def kernel(x_ref, vals_ref, idx_ref, o_ref, xw_ref):
+        i = pl.program_id(0)
+        xw_ref[:, :] = x_ref[pl.ds(i * chunk, chunk + S), :]
+        acc = None
+        for q in range(Q):
+            vq = vals_ref[q * chunk:(q + 1) * chunk, :]
+            iq = idx_ref[q * chunk:(q + 1) * chunk, :].astype(jnp.int32)
+            lq = jax.lax.bitwise_and(iq, 127)
+            xv = None
+            for w in used[q]:
+                if w < S:        # sliding local strip
+                    xs = xw_ref[w:w + chunk, :]
+                else:            # hot panel: step-invariant broadcast
+                    xs = jnp.broadcast_to(
+                        x_ref[hp0 + (w - S), :][None, :], (chunk, BC))
+                gw = xs if "nogather" in diag \
+                    else jnp.take_along_axis(xs, lq, axis=1)
+                if xv is None:
+                    xv = gw
+                elif len(used[q]) > 1 and "nosel" not in diag:
+                    xv = jnp.where(
+                        jax.lax.shift_right_logical(iq, 7) == w, gw, xv)
+            if xv is None:       # plane entirely padding
+                continue
+            t = vq * xv
+            acc = t if acc is None else acc + t
+        o_ref[:, :] = acc if acc is not None \
+            else jnp.zeros((chunk, BC), o_ref.dtype)
+
+    return kernel
+
+
+def _auto_loc_w(rows: np.ndarray, cols: np.ndarray) -> int:
+    d = np.abs(cols - rows)
+    cov = {w: float(np.mean(d <= w)) for w in _LOC_CHOICES}
+    best = cov[_LOC_CHOICES[-1]]
+    for w in _LOC_CHOICES:
+        if cov[w] >= best - 0.02:
+            return w
+    return _LOC_CHOICES[-1]
+
+
+def _auto_hot_k(out_cols: np.ndarray, nnz: int) -> int:
+    if out_cols.size == 0:
+        return 0
+    _, cnt = np.unique(out_cols, return_counts=True)
+    top = np.sort(cnt)[::-1]
+    csum = np.cumsum(top)
+
+    def cov(k):
+        return float(csum[min(k, top.size) - 1])
+
+    if cov(_HOT_CHOICES[-1]) < 0.05 * nnz:
+        return 0                 # hubs don't carry enough to pay strips
+    for k in _HOT_CHOICES:
+        if cov(k) >= 0.9 * cov(_HOT_CHOICES[-1]):
+            return k
+    return _HOT_CHOICES[-1]
+
+
+def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
+                            chunk: int | None = None,
+                            loc_w: int | str = "auto",
+                            slots: int | str = "auto",
+                            hot_k: int | str = "auto",
+                            tail_strategy: str = "pallas-pell",
+                            interpret: bool | None = None,
+                            strip_cov: float | None = 0.985,
+                            ov_max: int = 8, tail_xla_max: int = 32768,
+                            diag: str = "", Prepared=None, **_):
+    """Build the hybrid: lane-ELL core + hot region + CSR tail."""
+    from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
+    from spmv_scpa_tpu.ops.registry import bind, get_strategy
+    if Prepared is None:
+        Prepared = _Prepared
+    if interpret is None:
+        interpret = _auto_interpret()
+
+    m, n = A.m, A.n
+    rows = A.row_ids().astype(np.int64)
+    cols = A.ja.astype(np.int64)
+    nnz = A.nnz
+
+    if loc_w == "auto":
+        loc_w = _auto_loc_w(rows, cols) if nnz else 128
+    if loc_w % BC:
+        raise ValueError("loc_w must be a multiple of 128")
+    PL = loc_w // BC
+    S = 1 + 2 * PL               # local strips per group window
+
+    grp = rows // BC
+    off = cols - grp * BC + loc_w          # window-relative position
+    is_local = (off >= 0) & (off < S * BC)
+
+    out_cols = cols[~is_local]
+    if hot_k == "auto":
+        hot_k = _auto_hot_k(out_cols, nnz) if nnz else 0
+    Hs = hot_k // BC
+    hot_idx = np.zeros(Hs * BC, np.int64)
+    hot_rank = np.full(nnz, -1, np.int64)
+    if hot_k:
+        uniq, cnt = np.unique(out_cols, return_counts=True)
+        topk = uniq[np.argsort(cnt)[::-1][:hot_k]]
+        hot_idx[:topk.size] = np.sort(topk)
+        lookup = np.full(n, -1, np.int64)
+        lookup[hot_idx[:topk.size]] = np.arange(topk.size)
+        hot_rank = lookup[cols]
+        hot_rank[is_local] = -1
+
+    eligible = is_local | (hot_rank >= 0)
+
+    # per-row rank among eligible entries (CSR order = column order)
+    if nnz:
+        excl = np.cumsum(eligible) - eligible
+        start_excl = np.full(m, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(start_excl, rows, excl)
+        sl = excl - start_excl[rows]
+    else:
+        sl = np.zeros(0, np.int64)
+
+    G_est = max(1, -(-m // BC))
+    if slots == "auto":
+        # Minimize estimated HBM traffic: each slot plane streams
+        # G*BC*(4+2) bytes regardless of fill, while every spilled or
+        # ineligible entry runs the PELL tail at ~TAIL_BPN effective
+        # bytes/nnz (measured scattered-tail fill ~0.2 → ~30 B).
+        # Empirical tail costs are brutal (near-scalar XLA ~30 ns/nnz
+        # == ~22 kB/nnz bandwidth-equivalent; PELL tails pay O(m) grid
+        # work): weight spill heavily so Q absorbs rows whenever the
+        # planes are cheaper than the spill.
+        TAIL_BPN = 2000
+        best_cost, Q = None, _Q_CHOICES[-1]
+        for cand in _Q_CHOICES:
+            spill = int(np.sum(eligible & (sl >= cand))) + \
+                int(np.sum(~eligible))
+            cost = G_est * BC * 6 * cand + TAIL_BPN * spill
+            if best_cost is None or cost < best_cost:
+                best_cost, Q = cost, cand
+    else:
+        Q = int(slots)
+    if chunk is None:
+        chunk = max(8, min(256, (2048 // Q) // 8 * 8))
+    take0 = eligible & (sl < Q)
+
+    # ---- strip demotion + relocation --------------------------------
+    # The multi-strip gather+cmp+select chain measured 31% of flagship
+    # runtime (the "nosel" diag hits the full 747 GB/s stream
+    # roofline); a rare strip costs a whole gather+shift+cmp+select
+    # pass for <2% of a plane's entries. Cap each primary plane's
+    # strip set at cumulative coverage >= strip_cov. An entry whose
+    # strip was dropped is RELOCATED to a nearby plane that kept it:
+    # plane assignment is free bin-packing — the kernel only needs the
+    # entry's plane to list its strip and the (row, plane) slot to be
+    # unique. Leftovers go to a few catch-all OVERFLOW planes appended
+    # after the Q primary ones; the external tail stays near-empty by
+    # construction (critical: every device-wide tail path costs O(m)
+    # grid work or ~30 ns/nnz XLA scalar work — measured 1.75 ms for
+    # a 2.4k-nnz PELL tail on the 377k-row flagship).
+    enc_all = np.where(is_local, off, S * BC + hot_rank)
+    strip_all = enc_all // BC
+    plane = np.where(take0, sl, -1)           # final plane per entry
+    nw = S + Hs
+    n_demoted = n_reloc = 0
+    unpl = np.empty(0, np.int64)
+    if nnz and strip_cov is not None and Q > 0:
+        pair, cnt = np.unique(sl[take0] * nw + strip_all[take0],
+                              return_counts=True)
+        keep = np.zeros((Q, nw), bool)
+        for q in range(Q):
+            msk = (pair // nw) == q
+            if not msk.any():
+                continue
+            ws, cs = pair[msk] % nw, cnt[msk]
+            order = np.argsort(cs)                    # ascending
+            cum = np.cumsum(cs[order])
+            ndrop = int(np.searchsorted(
+                cum, (1 - strip_cov) * cum[-1], side="right"))
+            ndrop = min(ndrop, len(ws) - 1)
+            keep[q, ws[order[ndrop:]]] = True
+        nat = np.zeros(nnz, bool)
+        ti = np.flatnonzero(take0)
+        nat[ti] = keep[sl[ti], strip_all[ti]]
+        unpl = np.flatnonzero(take0 & ~nat)
+        n_demoted = int(unpl.size)
+        plane[unpl] = -1
+        if unpl.size:
+            base_keys = np.sort(rows[nat] * (Q + 1) + sl[nat])
+            extra_keys = np.empty(0, np.int64)
+
+            def _in_sorted(keys, arr):
+                if not arr.size:
+                    return np.zeros(keys.shape, bool)
+                p = np.minimum(np.searchsorted(arr, keys), arr.size - 1)
+                return arr[p] == keys
+
+            # per-strip keeper-plane lists, tried round-robin (spread
+            # by row so same-strip entries of one row hit distinct
+            # planes in the same pass)
+            kp = [np.flatnonzero(keep[:, w]) for w in range(nw)]
+            kp_size = np.array([p.size for p in kp])
+            kp_len = np.maximum(kp_size, 1)
+            kp_tab = np.zeros((nw, int(kp_len.max(initial=1))), np.int64)
+            for w, p in enumerate(kp):
+                if p.size:
+                    kp_tab[w, :p.size] = p
+            n_pass = int(min(kp_len.max(initial=1), 24))
+            for t in range(n_pass):
+                if not unpl.size:
+                    break
+                w_u = strip_all[unpl]
+                slot = (rows[unpl] + t) % kp_len[w_u]
+                q2 = kp_tab[w_u, slot]
+                oki = np.flatnonzero(kp_size[w_u] > 0)
+                if not oki.size:
+                    break
+                key = rows[unpl[oki]] * (Q + 1) + q2[oki]
+                free = ~(_in_sorted(key, base_keys)
+                         | _in_sorted(key, extra_keys))
+                oki, key = oki[free], key[free]
+                if not oki.size:
+                    continue
+                _, first = np.unique(key, return_index=True)
+                oki, key = oki[first], key[first]
+                plane[unpl[oki]] = q2[oki]
+                extra_keys = np.sort(np.concatenate([extra_keys, key]))
+                unpl = np.delete(unpl, oki)
+        n_reloc = n_demoted - int(unpl.size)
+
+    # overflow planes for unrelocatable leftovers
+    Qo = 0
+    if unpl.size:
+        rem = np.zeros(nnz, bool)
+        rem[unpl] = True
+        excl2 = np.cumsum(rem) - rem
+        start2 = np.full(m, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(start2, rows, excl2)
+        sl2 = excl2 - start2[rows]
+        ov = rem & (sl2 < ov_max)
+        plane[ov] = Q + sl2[ov]
+        if ov.any():
+            Qo = int(sl2[ov].max()) + 1
+    take = plane >= 0
+    QT = Q + Qo
+
+    G_tot = max(1, -(-m // BC))
+    G_pad = -(-G_tot // chunk) * chunk
+    steps = G_pad // chunk
+
+    # ---- pack plane-major arrays ------------------------------------
+    vals_a = np.zeros((steps * QT * chunk, BC), np.float32)
+    idx_a = np.zeros((steps * QT * chunk, BC), np.int16)
+    used: list[set] = [set() for _ in range(QT)]
+    if nnz:
+        tg = grp[take]
+        tq = plane[take]
+        lane = (rows[take] % BC).astype(np.int64)
+        enc = enc_all[take]
+        arow = (tg // chunk) * (QT * chunk) + tq * chunk + tg % chunk
+        vals_a[arow, lane] = A.as_[take]
+        idx_a[arow, lane] = enc.astype(np.int16)
+        strips = (enc // BC).astype(np.int64)
+        qs = np.unique(np.stack([tq, strips]), axis=1)
+        for q, w in qs.T:
+            used[int(q)].add(int(w))
+    used_t = tuple(tuple(sorted(u)) for u in used)
+
+    # resident x: loc_w left pad + local span + window slack, then hot
+    P_pad = G_pad + S            # window read for the last step fits
+    hp0 = P_pad
+    x_bytes = (P_pad + Hs) * BC * jnp.dtype(dtype).itemsize
+    if x_bytes > X_VMEM_BUDGET:
+        raise ValueError(
+            f"pallas-hybrid: resident x ({x_bytes} B) exceeds VMEM "
+            f"budget {X_VMEM_BUDGET} B; use pallas-pell (striped)")
+    n_local = min(n, P_pad * BC - loc_w)
+
+    vals_d = jax.device_put(jnp.asarray(vals_a, dtype))
+    idx_d = jax.device_put(jnp.asarray(idx_a))
+    hot_d = jax.device_put(jnp.asarray(hot_idx, jnp.int32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # x resident
+            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
+    )
+    call = pl.pallas_call(
+        _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                x_bytes + 2 * QT * chunk * BC * 6 * 2
+                + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
+                + (4 << 20), 100 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * QT * chunk * BC,
+            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    def ell_raw(x, vals, idx, hot_i):
+        xf = x.astype(dtype)
+        xp = jnp.zeros((P_pad * BC,), dtype)
+        xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
+        if Hs:
+            xh = jnp.take(xf, hot_i, mode="fill", fill_value=0)
+            xp = jnp.concatenate([xp, xh.astype(dtype)])
+        y = call(xp.reshape(P_pad + Hs, BC), vals, idx)
+        return y.reshape(-1)[:m]
+
+    ell_args = (vals_d, idx_d, hot_d)
+
+    # ---- CSR tail ----------------------------------------------------
+    # Tiny tails (demotion remainders, a few k nnz) CANNOT go through a
+    # full device strategy: every registered kernel's grid scales with
+    # m (measured: a 2.4k-nnz PELL tail on the 377k-row flagship costs
+    # 1.75 ms — 5x the core kernel). Instead, compact the tail's
+    # active rows and run an XLA segment-sum over just tail_nnz
+    # entries + a unique-index scatter-add back: cost is O(tail_nnz +
+    # |active rows|), near-scalar but tiny.
+    tail_prep = None
+    tail_hbm = 0
+    n_ell = len(ell_args)
+    tail_nnz = int(np.sum(~take)) if nnz else 0
+    if tail_nnz:
+        tm = ~take
+        trows, tcols, tvals = rows[tm], cols[tm], A.as_[tm]
+        R = np.unique(trows)
+        if tail_nnz <= tail_xla_max:
+            seg_d = jax.device_put(jnp.asarray(
+                np.searchsorted(R, trows), jnp.int32))
+            tc_d = jax.device_put(jnp.asarray(tcols, jnp.int32))
+            tv_d = jax.device_put(jnp.asarray(tvals, dtype))
+            ridx_d = jax.device_put(jnp.asarray(R, jnp.int32))
+            nseg = int(R.size)
+
+            def raw(x, *a):
+                y = ell_raw(x, *a[:n_ell])
+                seg_i, tc, tv, ridx = a[n_ell:]
+                yt = jax.ops.segment_sum(
+                    tv * jnp.take(x.astype(dtype), tc), seg_i,
+                    num_segments=nseg, indices_are_sorted=True)
+                return y.at[ridx].add(
+                    yt, mode="promise_in_bounds", unique_indices=True)
+
+            args = ell_args + (seg_d, tc_d, tv_d, ridx_d)
+            tail_hbm = tail_nnz * 12
+        else:
+            tail = CSR.from_coo(A.name + "_tail", m, n,
+                                trows, tcols, tvals)
+            tail_prep = get_strategy(tail_strategy).prepare(
+                tail, dtype=dtype, interpret=interpret)
+            t_raw, t_args = tail_prep.raw, tail_prep.args
+            tail_hbm = tail_prep.hbm_bytes
+
+            def raw(x, *a):
+                return ell_raw(x, *a[:n_ell]) + t_raw(x, *a[n_ell:])
+
+            args = ell_args + tuple(t_args)
+    else:
+        raw, args = ell_raw, ell_args
+
+    hbm = steps * QT * chunk * BC * 6 + tail_hbm
+    n_strip_ops = sum(len(u) for u in used_t)
+    return Prepared(
+        "pallas-hybrid", A.name, bind(raw, args), on_device=True,
+        nnz=nnz, raw=raw, args=args, hbm_bytes=int(hbm),
+        meta={"loc_w": loc_w, "slots": Q, "ov_slots": Qo,
+              "hot_k": hot_k,
+              "strips": S, "hot_strips": Hs, "chunk": chunk,
+              "steps": steps, "strip_ops": n_strip_ops,
+              "demoted": n_demoted, "relocated": n_reloc,
+              "fill": float(np.sum(take)) / max(G_pad * QT * BC, 1),
+              "tail_nnz": tail_nnz,
+              "tail_kind": (None if not tail_nnz else
+                            "xla-compact" if tail_prep is None
+                            else tail_strategy),
+              "tail_frac": tail_nnz / max(nnz, 1)})

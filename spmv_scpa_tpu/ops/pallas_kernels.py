@@ -40,6 +40,7 @@ from spmv_scpa_tpu.formats.csr import CSR
 from spmv_scpa_tpu.formats.panel_ell import (BC, BR, DEFAULT_QUANTUM,
                                              DEFAULT_WINDOW_H, csr_to_pell)
 from spmv_scpa_tpu.ops.segsum_kernel import (_dot_passes,
+                                             _dot_passes_ncat,
                                              make_span_segsum,
                                              make_visit_masks,
                                              make_window_segsum)
@@ -417,7 +418,8 @@ def _make_tile_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
 
 def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
                   precision_passes: int, epilogue_passes: int,
-                  panel_w: int = 1, wide: bool = False):
+                  panel_w: int = 1, wide: bool = False,
+                  epilogue_ncat: bool = False, diag: str = ""):
     """Single-pass SpMV: tile MACs + windowed segment-sum in ONE grid
     step — per-quantum partials never round-trip through HBM and the
     epilogue's grid overhead disappears (measured 0.37 ms of 0.84 ms
@@ -477,7 +479,7 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
         else:
             xv = jnp.broadcast_to(xg_ref[:][:, None, :],
                                   (chunk, BR, BC)).reshape(chunk * BR, BC)
-            if gathered:
+            if gathered and "nogather" not in diag:
                 xv = jnp.take_along_axis(xv, lcol_ref[:], axis=1)
         prod = vals_ref[:] * xv
         if nq == BC:
@@ -495,13 +497,16 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
                     x, seg_mat, dimension_numbers=dn1,
                     preferred_element_type=jnp.float32)
 
-            acc = None
-            rem = prod
-            for _ in range(precision_passes):
-                hi = rem.astype(jnp.bfloat16)
-                term = dot(hi)
-                acc = term if acc is None else acc + term
-                rem = rem - hi.astype(jnp.float32)
+            if "nomac" in diag:     # ablation: MAC seg-reduce dot cost
+                acc = prod[:, :nq]
+            else:
+                acc = None
+                rem = prod
+                for _ in range(precision_passes):
+                    hi = rem.astype(jnp.bfloat16)
+                    term = dot(hi)
+                    acc = term if acc is None else acc + term
+                    rem = rem - hi.astype(jnp.float32)
 
         # ---- fused windowed segment-sum (ops/segsum_kernel.py) ----
         b = base_ref[i]
@@ -525,12 +530,22 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
                 acc2 = term if acc2 is None else acc2 + term
                 rem = rem - hi.astype(jnp.float32)
         else:
-            part = acc.reshape(chunk, BR, nq)
-            part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
+            if "notrans" in diag:   # ablation: partial-transpose cost
+                part = acc.reshape(g, BR)
+            else:
+                part = acc.reshape(chunk, BR, nq)
+                part = jnp.transpose(part, (0, 2, 1)).reshape(g, BR)
             rel = rbl_ref[pl.ds(i % 8, 1), :] - b * h        # (1, g)
+            if "constoh" in diag:   # ablation: one-hot build cost
+                rel = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) % (W * h)
             hh = jax.lax.broadcasted_iota(jnp.int32, (W * h, g), 0)
             oh = (hh == rel).astype(jnp.bfloat16)
-            acc2 = _dot_passes(oh, part, epilogue_passes, jnp.float32)
+            if "noepi" in diag:     # ablation: whole epilogue dot cost
+                acc2 = jnp.broadcast_to(
+                    jnp.sum(part, axis=0, keepdims=True), (W * h, BR))
+            else:
+                dp = _dot_passes_ncat if epilogue_ncat else _dot_passes
+                acc2 = dp(oh, part, epilogue_passes, jnp.float32)
 
         prev = base_ref[jnp.maximum(i - 1, 0)]
         is_first = jnp.logical_or(i == 0, b != prev)
@@ -541,6 +556,8 @@ def _fused_kernel(chunk: int, gathered: bool, nq: int, h: int, W: int,
                 o[:] = jnp.zeros_like(o)
 
         for k, o in enumerate(outs):
+            if "noout" in diag and k > 0:
+                continue
             if wide:
                 o[:] += acc2[:, k * h:(k + 1) * h].astype(o.dtype)
             else:
@@ -557,7 +574,8 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
                      epilogue_passes: int = 3,
                      force_span: int | None = None,
                      force_tiles: int | None = None,
-                     panel_w: int = 1, wide: bool | None = None):
+                     panel_w: int = 1, wide: bool | None = None,
+                     epilogue_ncat: bool = False, diag: str = ""):
     """Single-kernel SpMV driver (see _fused_kernel). Input layout is
     the chunk_align=1 PELL/BCSR packing (window non-decreasing, NO
     per-window tile padding).
@@ -700,7 +718,8 @@ def _make_fused_spmv(*, name: str, m: int, n: int, vals: np.ndarray,
     call = pl.pallas_call(
         _fused_kernel(chunk, gathered, nq, h, W,
                       precision_passes, epilogue_passes,
-                      panel_w=panel_w, wide=wide),
+                      panel_w=panel_w, wide=wide,
+                      epilogue_ncat=epilogue_ncat, diag=diag),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(out_sh, dtype)
                    for _ in range(W)],
@@ -1601,6 +1620,7 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
                  precision_passes: int = 2, hot_cols: int = 0,
                  split_shift: bool = False, scheme: str = "auto",
                  epilogue_passes: int = 2, dedup_max: int = 0,
+                 epilogue_ncat: bool = False, diag: str = "",
                  span_max: int = 8, x_vmem_budget: int = X_VMEM_BUDGET,
                  row_sort: bool | str = "auto",
                  panel_w: int | str = "auto", g_max: int | None = None,
@@ -1705,7 +1725,8 @@ def prepare_pell(A: CSR, dtype=jnp.float32, chunk: int = DEFAULT_CHUNK,
             window_h=use_wh, dtype=dtype, chunk=chunk,
             interpret=interpret, idx_dtype=idx_dtype,
             precision_passes=precision_passes,
-            epilogue_passes=epilogue_passes, panel_w=P.panel_w)
+            epilogue_passes=epilogue_passes, panel_w=P.panel_w,
+            epilogue_ncat=epilogue_ncat, diag=diag)
     else:
         raw, args = _make_tile_spmv(
             name="pallas-pell", m=A.m, n=A.n, vals=P.vals, lcol=P.lcol,
@@ -1827,3 +1848,11 @@ def register_all(register, StrategySpec, Prepared):
         "fp64-grade fused kernel (reference computes natively in fp64, "
         "include/csr.h:12); digit-plane exact fixed-point MXU reduction",
         prepare=functools.partial(prepare_pell_df64, Prepared=Prepared)))
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_hybrid
+    register(StrategySpec(
+        "pallas-hybrid", "LELL", "pallas",
+        "cuda_hll.cu:49-72 (k1 thread-per-row, coalesced col-major = "
+        "rows-as-lanes) + cuda_csr.cu:145-178 (texture x ~ VMEM window) "
+        "+ SURVEY section 7 hard part 3 (hybrid hub/tail split)",
+        prepare=functools.partial(prepare_lane_ell_hybrid,
+                                  Prepared=Prepared)))

@@ -203,6 +203,34 @@ def _dot_passes(a_exact, b_f32, passes: int, out_dtype):
     return acc.astype(out_dtype)
 
 
+def _dot_passes_ncat(a_exact, b_f32, passes: int, out_dtype):
+    """Same math as ``_dot_passes`` but as ONE MXU dot: the bf16 split
+    terms of ``b`` concatenate along N, so an N=8 epilogue (which runs
+    the MXU at ~6% utilization) issues a single N=8*passes dot instead
+    of ``passes`` back-to-back narrow dots. The bf16 terms have no dot
+    dependency (each is an elementwise residual), so the concat is
+    legal; the (K, 8*passes) materialization is a few KB."""
+    if passes <= 1:
+        return _dot_passes(a_exact, b_f32, passes, out_dtype)
+    dn = (((1,), (0,)), ((), ()))
+    terms = []
+    rem = b_f32
+    for _ in range(passes):
+        hi = rem.astype(jnp.bfloat16)
+        terms.append(hi)
+        rem = rem - hi.astype(jnp.float32)
+    cat = jnp.concatenate(terms, axis=1)
+    out = jax.lax.dot_general(a_exact.astype(jnp.bfloat16), cat,
+                              dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+    n = b_f32.shape[1]
+    acc = None
+    for k in range(passes):
+        t = out[:, k * n:(k + 1) * n]
+        acc = t if acc is None else acc + t
+    return acc.astype(out_dtype)
+
+
 def make_window_segsum(*, win_of_step: np.ndarray, num_windows: int,
                        h: int, rows_per_step: int, nq: int,
                        total_tile_rows: int, dtype=jnp.float32,

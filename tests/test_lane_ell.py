@@ -1,0 +1,95 @@
+"""Lane-ELL hybrid (pallas-hybrid) unit tests: the rows-as-lanes
+kernel with local-window/hub split — the TPU analog of the reference's
+winning coalesced HLL kernel (cuda_hll.cu:49-72) plus the SURVEY §7
+"hard part 3" hybrid format. Runs in interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from spmv_scpa_tpu import testing as synth
+from spmv_scpa_tpu.formats.csr import CSR
+from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_hybrid
+from spmv_scpa_tpu.ops.oracle import spmv_oracle
+from spmv_scpa_tpu.utils.validation import validate_result
+from spmv_scpa_tpu.utils.vector import make_x
+
+
+def _run(A, **kw):
+    prep = prepare_lane_ell_hybrid(A, interpret=True, **kw)
+    x = make_x(A.n)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    validate_result(spmv_oracle(A, x), got,
+                    what=f"pallas-hybrid on {A.name} {kw}")
+    return prep
+
+
+def test_banded_no_tail():
+    p = _run(synth.banded_csr(2000, row_nnz=16, seed=1))
+    assert p.meta["tail_nnz"] == 0
+    assert p.meta["hot_k"] == 0
+
+
+def test_stencil_relocation_resolves_demotions():
+    """Strip demotion must not create an external tail on a banded
+    stencil: relocation + overflow planes absorb the jitter strips."""
+    A = synth.stencil_csr(4000, points=6, run_len=8, bandwidth=300,
+                          seed=2)
+    p = _run(A, slots=80, chunk=24)
+    assert p.meta["demoted"] > 0            # demotion engaged
+    assert p.meta["relocated"] > 0.7 * p.meta["demoted"]
+    assert p.meta["tail_nnz"] <= 0.01 * A.nnz
+
+
+def test_strip_cov_disabled_keeps_all_strips():
+    A = synth.stencil_csr(2000, points=6, run_len=8, bandwidth=300,
+                          seed=2)
+    p = _run(A, strip_cov=None)
+    assert p.meta["demoted"] == 0
+    assert p.meta["ov_slots"] == 0
+
+
+def test_hub_split_engages_on_powerlaw_locality():
+    """amazon archetype: local band + Zipf hubs -> hot_k > 0 and the
+    hot region carries entries (hub split, SURVEY section 7)."""
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p = _run(A)
+    assert p.meta["hot_k"] > 0
+    assert p.meta["hot_strips"] == p.meta["hot_k"] // 128
+
+
+def test_tiny_tail_uses_xla_compact():
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p = _run(A)
+    if p.meta["tail_nnz"]:
+        assert p.meta["tail_kind"] == "xla-compact"
+
+
+def test_large_tail_uses_pallas_strategy():
+    A = synth.powerlaw_csr(8000, avg_nnz=30, seed=5)
+    p = _run(A, tail_xla_max=100)
+    if p.meta["tail_nnz"] > 100:
+        assert p.meta["tail_kind"] == "pallas-pell"
+
+
+def test_explicit_slots_and_chunk():
+    A = synth.banded_csr(1500, row_nnz=20, bandwidth=200, seed=6)
+    for slots, chunk in [(8, 16), (24, 8), (32, 64)]:
+        _run(A, slots=slots, chunk=chunk)
+
+
+def test_empty_and_degenerate():
+    dense = np.zeros((10, 7))
+    dense[2, 3] = 4.0
+    dense[9, 0] = -1.0
+    _run(CSR.from_dense("sparse10", dense))
+    _run(synth.diag_csr(300))
+
+
+def test_vmem_budget_guard():
+    """A matrix whose resident x exceeds the VMEM budget must refuse
+    with a clear error instead of a Mosaic compile failure."""
+    rows = np.arange(0, 4_000_000, 1000, dtype=np.int64)
+    A = CSR.from_coo("huge_n", 4_000_000, 4_000_000, rows, rows,
+                     np.ones(rows.size))
+    with pytest.raises(ValueError, match="VMEM"):
+        prepare_lane_ell_hybrid(A, interpret=True)
