@@ -28,15 +28,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_BEST_GFLOPS = 62.5
 
-# (strategy, params) candidates — the tuned fused-kernel configs
-# (measured sweep in docs/PERF_LOG.md) plus a fallback.
+# (strategy, params) candidates — the round-3 lane-ELL hybrid (pure
+# auto reproduces the tuned optimum: 0.298 ms / 151.5 GF/s / 0.90 of
+# the stream roofline, docs/PERF_LOG.md round 3) plus the round-2
+# fused-PELL configs as fallbacks.
 CANDIDATES = [
+    ("pallas-hybrid", {}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 48,
                      "scheme": "fused", "precision_passes": 2,
                      "epilogue_passes": 2, "span_max": 12}),
-    ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 64,
-                     "scheme": "fused", "precision_passes": 2,
-                     "epilogue_passes": 2}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 128}),
 ]
 

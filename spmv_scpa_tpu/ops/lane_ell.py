@@ -78,7 +78,7 @@ from spmv_scpa_tpu.formats.panel_ell import BC, BR
 X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
 
 _LOC_CHOICES = (128, 256, 512, 1024, 2048, 4096)
-_HOT_CHOICES = (128, 256, 512, 1024, 2048)
+_HOT_CHOICES = (128, 256, 512, 1024, 2048, 4096, 8192)
 _Q_CHOICES = (1, 2, 4, 8, 16, 24, 32, 48, 64, 80, 96, 128)
 
 
@@ -166,7 +166,9 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             tail_strategy: str = "pallas-pell",
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
-                            ov_max: int = 8, tail_xla_max: int = 32768,
+                            ov_max: int = 8, ov_budget: int = 64,
+                            ded_max: int = 4, max_strips: int = 4,
+                            tail_xla_max: int = 32768,
                             diag: str = "", Prepared=None, **_):
     """Build the hybrid: lane-ELL core + hot region + CSR tail."""
     from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
@@ -275,6 +277,11 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             cum = np.cumsum(cs[order])
             ndrop = int(np.searchsorted(
                 cum, (1 - strip_cov) * cum[-1], side="right"))
+            # hard cap: scattered planes spread mass evenly over many
+            # strips (coverage alone drops nothing) — keep at most
+            # max_strips and let relocation + dedicated overflow
+            # planes absorb the rest
+            ndrop = max(ndrop, len(ws) - max_strips)
             ndrop = min(ndrop, len(ws) - 1)
             keep[q, ws[order[ndrop:]]] = True
         nat = np.zeros(nnz, bool)
@@ -326,8 +333,36 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 unpl = np.delete(unpl, oki)
         n_reloc = n_demoted - int(unpl.size)
 
-    # overflow planes for unrelocatable leftovers
-    Qo = 0
+    # Overflow planes for unrelocatable leftovers, in two tiers:
+    # (a) strip-wise DEDICATED planes — single-strip (no select
+    #     chain), sized to each strip's max per-(row,strip) count.
+    #     These absorb hub entries and jitter strips cheaply.
+    # (b) a few catch-all planes (full decode) for the remainder.
+    next_q = Q
+    if unpl.size:
+        w_u = strip_all[unpl]
+        key = w_u * np.int64(m + 1) + rows[unpl]
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        newgrp = np.r_[True, ks[1:] != ks[:-1]]
+        first = np.flatnonzero(newgrp)
+        gid = np.cumsum(newgrp) - 1
+        rank = np.arange(ks.size) - first[gid]
+        rank_u = np.empty(unpl.size, np.int64)
+        rank_u[order] = rank
+        strip_mass = np.bincount(w_u, minlength=nw)
+        placed_mask = np.zeros(unpl.size, bool)
+        for w in np.argsort(-strip_mass):
+            if strip_mass[w] == 0 or next_q - Q >= ov_budget:
+                break
+            mw = w_u == w
+            k_w = min(int(rank_u[mw].max()) + 1, ded_max,
+                      Q + ov_budget - next_q)
+            hit = mw & (rank_u < k_w)
+            plane[unpl[hit]] = next_q + rank_u[hit]
+            placed_mask |= hit
+            next_q += k_w
+        unpl = unpl[~placed_mask]
     if unpl.size:
         rem = np.zeros(nnz, bool)
         rem[unpl] = True
@@ -336,9 +371,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         np.minimum.at(start2, rows, excl2)
         sl2 = excl2 - start2[rows]
         ov = rem & (sl2 < ov_max)
-        plane[ov] = Q + sl2[ov]
+        plane[ov] = next_q + sl2[ov]
         if ov.any():
-            Qo = int(sl2[ov].max()) + 1
+            next_q += int(sl2[ov].max()) + 1
+    Qo = next_q - Q
     take = plane >= 0
     QT = Q + Qo
 

@@ -152,12 +152,23 @@ def bind(raw, args, prep_x=None, post=None):
 def pick_auto(A: CSR) -> str:
     """Heuristic strategy choice. On TPU the Pallas paths are the only
     performant ones (XLA gather/scatter lower to near-scalar loops —
-    measured ~0.1-0.3 GFLOPS); PELL handles every matrix — large-n
-    matrices go through its column-striped fused path. On CPU backends
-    XLA segment-sum is fine."""
+    measured ~0.1-0.3 GFLOPS). The lane-ELL hybrid wins whenever the
+    matrix has enough diagonal locality for its sliding VMEM window
+    (flagship: 151.5 vs 82.9 GF/s; docs/PERF_LOG.md round 3) and the
+    resident x fits VMEM; otherwise PELL (column-striped fused path
+    for large n, windowed one-hot epilogue for pure scatter). On CPU
+    backends XLA segment-sum is fine."""
     from spmv_scpa_tpu.utils.platform import is_tpu
     if not is_tpu():
         return "xla-csr-segsum"
+    if A.nnz:
+        # resident-x bound of the hybrid (lane_ell.X_VMEM_BUDGET):
+        # ~2.5M padded columns/rows of f32
+        g_pad = -(-A.m // 128)
+        if (g_pad + 65) * 128 * 4 <= 10 << 20 and A.n <= (10 << 20) // 4:
+            d = np.abs(A.ja.astype(np.int64) - A.row_ids())
+            if float(np.mean(d <= 4096)) >= 0.5:
+                return "pallas-hybrid"
     return "pallas-pell"
 
 
