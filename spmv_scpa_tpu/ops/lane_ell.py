@@ -167,8 +167,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
                             ov_max: int = 8, ov_budget: int = 64,
+                            ded_bytes: int = 32 << 20,
                             ded_max: int = 4, max_strips: int = 4,
                             tail_xla_max: int = 32768,
+                            depth: int = 0, max_depth: int = 2,
                             diag: str = "", Prepared=None, **_):
     """Build the hybrid: lane-ELL core + hot region + CSR tail."""
     from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
@@ -339,6 +341,12 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     #     These absorb hub entries and jitter strips cheaply.
     # (b) a few catch-all planes (full decode) for the remainder.
     next_q = Q
+    # dedicated planes stream G_pad*128*6 B each regardless of fill —
+    # cap their count by a bytes budget (the measured amazon failure:
+    # 101 dedicated planes = 160 MB = 0.22 ms of pure padding DMA)
+    G_tot0 = max(1, -(-m // BC))
+    ov_budget = min(ov_budget,
+                    max(0, int(ded_bytes // (G_tot0 * BC * 6))))
     if unpl.size:
         w_u = strip_all[unpl]
         key = w_u * np.int64(m + 1) + rows[unpl]
@@ -433,10 +441,16 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
         compiler_params=pltpu.CompilerParams(
+            # Generous: XLA may hoist the whole (G_pad, BC) output and
+            # the resident x into the kernel's scoped-vmem scope when
+            # the call sits inside a fori_loop (measured webbase
+            # compile OOM: demand 29.7 MB vs the old tight 16.7 MB
+            # estimate), so budget both in full plus slack.
             vmem_limit_bytes=min(
-                x_bytes + 2 * QT * chunk * BC * 6 * 2
+                2 * x_bytes + 2 * G_pad * BC * 4
+                + 4 * QT * chunk * BC * 6
                 + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
-                + (4 << 20), 100 << 20)),
+                + (8 << 20), 110 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * QT * chunk * BC,
             bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes),
@@ -466,6 +480,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     # |active rows|), near-scalar but tiny.
     tail_prep = None
     tail_hbm = 0
+    tail_kind_used = tail_strategy
     n_ell = len(ell_args)
     tail_nnz = int(np.sum(~take)) if nnz else 0
     if tail_nnz:
@@ -494,8 +509,27 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         else:
             tail = CSR.from_coo(A.name + "_tail", m, n,
                                 trows, tcols, tvals)
-            tail_prep = get_strategy(tail_strategy).prepare(
-                tail, dtype=dtype, interpret=interpret)
+            # Big tails with diagonal/hub locality recurse into the
+            # hybrid itself (the residual is just another lane-ELL
+            # problem; y's sum on device) — heavy rows shed Q slots
+            # per level. Pure scatter residuals amortize PELL.
+            ts = tail_strategy
+            if ts == "auto":
+                d = np.abs(tcols - trows)
+                local = float(np.mean(d <= 4096)) if tail_nnz else 0.0
+                ts = ("pallas-hybrid"
+                      if depth < max_depth and local >= 0.4
+                      else "pallas-pell")
+            if ts == "pallas-hybrid":
+                tail_prep = prepare_lane_ell_hybrid(
+                    tail, dtype=dtype, interpret=interpret,
+                    depth=depth + 1, max_depth=max_depth,
+                    tail_xla_max=tail_xla_max, Prepared=Prepared)
+                ts = f"hybrid-r{depth + 1}"
+            else:
+                tail_prep = get_strategy(ts).prepare(
+                    tail, dtype=dtype, interpret=interpret)
+            tail_kind_used = ts
             t_raw, t_args = tail_prep.raw, tail_prep.args
             tail_hbm = tail_prep.hbm_bytes
 
@@ -520,5 +554,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
               "tail_nnz": tail_nnz,
               "tail_kind": (None if not tail_nnz else
                             "xla-compact" if tail_prep is None
-                            else tail_strategy),
+                            else tail_kind_used),
+              "tail_meta": (tail_prep.meta if tail_prep is not None
+                            else None),
               "tail_frac": tail_nnz / max(nnz, 1)})

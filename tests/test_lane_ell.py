@@ -71,6 +71,36 @@ def test_large_tail_uses_pallas_strategy():
         assert p.meta["tail_kind"] == "pallas-pell"
 
 
+def test_recursive_tail_on_local_residual():
+    """tail_strategy='auto' recurses into the hybrid when the big tail
+    is itself diagonally local; the recursion terminates (max_depth)
+    and the summed y still validates."""
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p = _run(A, tail_strategy="auto", tail_xla_max=1000)
+    if p.meta["tail_nnz"] > 1000:
+        assert p.meta["tail_kind"].startswith("hybrid-r")
+        assert p.meta["tail_meta"] is not None
+
+
+def test_recursion_depth_bounded():
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p = _run(A, tail_strategy="auto", tail_xla_max=100, max_depth=1)
+    tm = p.meta.get("tail_meta")
+    if tm is not None:                  # level-1 tail exists
+        assert tm["tail_kind"] in (None, "xla-compact", "pallas-pell")
+
+
+def test_ded_bytes_cap_limits_overflow_planes():
+    """The dedicated-plane bytes budget caps total overflow planes:
+    with ded_bytes=0 no strip-dedicated planes are built (only the
+    catch-all tier), so ov_slots stays <= ov_max."""
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p0 = _run(A, ded_bytes=0)
+    assert p0.meta["ov_slots"] <= 8     # catch-all tier only (ov_max)
+    p1 = _run(A)                        # default budget
+    assert p1.meta["ov_slots"] >= p0.meta["ov_slots"]
+
+
 def test_explicit_slots_and_chunk():
     A = synth.banded_csr(1500, row_nnz=20, bandwidth=200, seed=6)
     for slots, chunk in [(8, 16), (24, 8), (32, 64)]:
