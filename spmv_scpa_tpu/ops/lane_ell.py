@@ -483,6 +483,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     tail_kind_used = tail_strategy
     n_ell = len(ell_args)
     tail_nnz = int(np.sum(~take)) if nnz else 0
+    if "notail" in diag:        # diag-only: results invalid, core cost
+        tail_nnz = 0
     if tail_nnz:
         tm = ~take
         trows, tcols, tvals = rows[tm], cols[tm], A.as_[tm]
