@@ -1,0 +1,241 @@
+"""Exact-f32 Pallas gather pipeline for scattered out-of-window columns.
+
+The reference handles scattered short-row matrices (amazon0302,
+webbase-1M) with thread-per-row CSR/HLL kernels whose per-thread x
+reads ride the GPU's global-load/texture path
+(/root/reference/src/cuda_csr.cu:145-178, cuda_hll.cu:49-72). TPU has
+no per-lane HBM gather: XLA lowers ``take`` to ~30 ns/element scalar
+loops, and a measured 27k-entry tail costs ~0.55 ms — 5x the whole
+lane-ELL core. This module replaces that tail with two tiny Pallas
+stages that exploit the measured structure of the scattered regime
+(amazon archetype: 165k out-of-window entries dedup 23x to 7.2k unique
+columns = 28 KB):
+
+* **stage 1 — sorted-window gather**: the globally sorted unique
+  out-columns are packed into groups of <= 8*128 whose members share
+  one R-panel ALIGNED x window (index_map blocks are R-granular).
+  Each grid step DMAs one (R,128) x block and, per output sublane,
+  runs ONE lane-wise ``take_along_axis`` + a panel-mask sublane
+  reduction: out[c,j] = x[p[c,j], l[c,j]] with p/l host-precomputed.
+  All moves are exact f32 (no MXU, no precision passes).
+* **stage 2 — ranked gather**: the stage-1 output (the compact "hot
+  region", <= a few hundred KB) is fully VMEM-resident; the same
+  gather+mask-reduce builds ONE 128-lane "ext panel" per 128-row
+  group holding exactly that group's unique out-of-window x values.
+
+The ext panels stream into the lane-ELL core step-aligned, so an
+out-of-window entry costs the same as a local one: a lane gather from
+the group's own panel (ops/lane_ell.py). The near-scalar XLA tail
+shrinks to per-group-capacity spill only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from spmv_scpa_tpu.formats.panel_ell import BC
+
+# stage-1 window reach, in 128-col panels (block-granular: windows are
+# R-panel aligned). 512 panels = 65,536 cols = 256 KB f32 per step.
+R_PANELS = 512
+# stage-2 resident hot region cap (sublanes): 1024*128*4 = 512 KB.
+H_MAX = 1024
+
+
+def _mask_gather(src, p_row, l_row):
+    """out[j] = src[p_row[j], l_row[j]] for a (H, BC) f32 ``src``.
+
+    One lane-wise dynamic_gather (operand/indices same 2D shape — the
+    Mosaic constraint, CLAUDE.md) + a one-hot sublane reduction. Exact
+    f32: exactly one mask row is nonzero per lane.
+    """
+    H = src.shape[0]
+    lc = jnp.broadcast_to(l_row[None, :], (H, BC))
+    g = jnp.take_along_axis(src, lc, axis=1)
+    pi = jax.lax.broadcasted_iota(jnp.int32, (H, BC), 0)
+    pc = jnp.broadcast_to(p_row[None, :], (H, BC))
+    return jnp.sum(jnp.where(pi == pc, g, jnp.zeros_like(g)), axis=0)
+
+
+def make_sorted_gather(n_groups: int, n1p_blocks: int, R: int,
+                       dtype, interpret: bool):
+    """Stage-1 pallas_call: (base, x1, p1, l1) -> hot (n_groups*8, BC).
+
+    ``base`` (prefetched, int32 (n_groups,)) is the R-block index of
+    each group's x window; ``p1``/``l1`` (n_groups*8, BC) are the
+    window-relative panel / lane of each packed unique column.
+    """
+
+    def kernel(base_ref, x_ref, p_ref, l_ref, o_ref):
+        xb = x_ref[...]
+        o_ref[...] = jnp.stack(
+            [_mask_gather(xb, p_ref[c, :], l_ref[c, :]) for c in range(8)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((R, BC), lambda i, base: (base[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_groups * 8, BC), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=n_groups * 8 * R * BC,
+            bytes_accessed=n_groups * (R + 3 * 8) * BC * 4,
+            transcendentals=0),
+        interpret=interpret)
+
+
+def make_ranked_gather(H: int, G_pad: int, dtype, interpret: bool,
+                       EB: int = 8):
+    """Stage-2 pallas_call: (hot, p2, l2) -> ext (G_pad, BC).
+
+    ``hot`` (H, BC) stays VMEM-resident across the grid; each step
+    emits EB group panels. p2/l2 (G_pad, BC) give each group-lane's
+    hot-region sublane / lane.
+    """
+
+    def kernel(hot_ref, p_ref, l_ref, o_ref):
+        hb = hot_ref[...]
+        o_ref[...] = jnp.stack(
+            [_mask_gather(hb, p_ref[c, :], l_ref[c, :])
+             for c in range(EB)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(G_pad // EB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # hot resident
+            pl.BlockSpec((EB, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((EB, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((EB, BC), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=G_pad * H * BC,
+            bytes_accessed=(H + 3 * G_pad) * BC * 4,
+            transcendentals=0),
+        interpret=interpret)
+
+
+class ExtPlan:
+    """Host-side plan: stage tables + per-entry ext lane assignment."""
+
+    __slots__ = ("n_groups", "H", "R", "n1p_blocks", "base", "p1",
+                 "l1", "pair_grp", "pair_lane", "pair_key", "pair_pos",
+                 "ext_lane", "covered", "n_out")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
+             m: int, n: int, r_cap: int = R_PANELS) -> ExtPlan | None:
+    """Plan the 2-stage gather for entries flagged in ``out_mask``.
+
+    Per 128-row group, the group's unique out-columns (capped at 128,
+    most-referenced kept) each get one lane of the group's ext panel.
+    Returns None when there is nothing to plan or the resident hot
+    region would exceed H_MAX sublanes.
+    """
+    oi = np.flatnonzero(out_mask)
+    if not oi.size:
+        return None
+    grp = rows[oi] // BC
+    oc = cols[oi]
+    key = grp * np.int64(n) + oc
+    pk, cnt = np.unique(key, return_counts=True)    # sorted (grp, col)
+    pg = (pk // n).astype(np.int64)
+    pc = (pk % n).astype(np.int64)
+
+    # per-group cap: keep the 128 most-referenced pairs
+    order = np.lexsort((-cnt, pg))
+    pgo = pg[order]
+    newg = np.r_[True, pgo[1:] != pgo[:-1]]
+    first = np.flatnonzero(newg)
+    gid = np.cumsum(newg) - 1
+    rank = np.arange(pgo.size) - first[gid]
+    lane_of_pair = np.full(pk.size, -1, np.int64)
+    kept = rank < BC
+    lane_of_pair[order[kept]] = rank[kept]
+
+    uniq = np.unique(pc[lane_of_pair >= 0])
+    if not uniq.size:
+        return None
+
+    # stage-1 packing: groups of <= 8*BC uniques within one R-aligned
+    # x region (index_map blocks are R-granular)
+    region = uniq // (r_cap * BC)
+    reg_u, reg_start = np.unique(region, return_index=True)
+    reg_end = np.r_[reg_start[1:], uniq.size]
+    base_l: list[int] = []
+    pos = np.empty(uniq.size, np.int64)
+    cursor = 0
+    for r0, s, e in zip(reg_u, reg_start, reg_end):
+        for a in range(s, e, 8 * BC):
+            sel = np.arange(a, min(a + 8 * BC, e))
+            base_l.append(int(r0))
+            pos[sel] = cursor * BC + (sel - a)
+            cursor += 8
+    n_groups = len(base_l)
+    H = cursor
+    if H > H_MAX:
+        return None
+    n_panels = -(-n // BC)
+    n1p_blocks = max(-(-n_panels // r_cap), int(max(base_l)) + 1)
+
+    p1 = np.zeros((n_groups * 8, BC), np.int32)
+    l1 = np.zeros((n_groups * 8, BC), np.int32)
+    srow, slane = pos // BC, pos % BC
+    gidx = srow // 8
+    p1[srow, slane] = (uniq // BC
+                       - np.asarray(base_l, np.int64)[gidx] * r_cap)
+    l1[srow, slane] = uniq % BC
+
+    # per-pair hot-region position (only kept pairs are looked up)
+    kept_i = lane_of_pair >= 0
+    pair_pos = np.full(pk.size, 0, np.int64)
+    pair_pos[kept_i] = pos[np.searchsorted(uniq, pc[kept_i])]
+
+    # per-entry ext lane (-1 = dropped by the per-group cap)
+    ent_pair = np.searchsorted(pk, key)
+    ext_lane = np.full(rows.size, -1, np.int64)
+    ext_lane[oi] = lane_of_pair[ent_pair]
+    covered = float(np.mean(lane_of_pair[ent_pair] >= 0))
+
+    return ExtPlan(n_groups=n_groups, H=H, R=r_cap,
+                   n1p_blocks=n1p_blocks,
+                   base=np.asarray(base_l, np.int32), p1=p1, l1=l1,
+                   pair_grp=pg[kept_i], pair_lane=lane_of_pair[kept_i],
+                   pair_key=pk, pair_pos=pair_pos[kept_i],
+                   ext_lane=ext_lane, covered=covered, n_out=oi.size)
+
+
+def build_group_tables(plan: ExtPlan, G_pad: int):
+    """Stage-2 p2/l2 (G_pad, BC) from the plan's kept pairs."""
+    p2 = np.zeros((G_pad, BC), np.int32)
+    l2 = np.zeros((G_pad, BC), np.int32)
+    p2[plan.pair_grp, plan.pair_lane] = plan.pair_pos // BC
+    l2[plan.pair_grp, plan.pair_lane] = plan.pair_pos % BC
+    return p2, l2

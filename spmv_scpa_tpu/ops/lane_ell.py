@@ -88,17 +88,24 @@ def _auto_interpret() -> bool:
 
 
 def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
-                     used: tuple, diag: str = ""):
+                     used: tuple, diag: str = "", ext_w: int = -1):
     """One grid step = ``chunk`` row-groups of 128 rows.
 
     ``vals``/``idx`` blocks are plane-major: rows ``q*chunk + c``.
     ``idx`` packs (strip << 7) | lane; strips ``< S`` index the
-    step's sliding local window, strips ``>= S`` the resident hot
-    panels at ``hp0``. ``used[q]`` is the plane's static strip set.
-    y rows are direct: out block = (chunk, 128) at step index.
+    step's sliding local window, strip ``ext_w`` the step-aligned
+    per-group ext panels (ops/ext_gather.py), other strips ``>= S``
+    the resident hot panels at ``hp0``. ``used[q]`` is the plane's
+    static strip set. y rows are direct: out block = (chunk, 128) at
+    step index.
     """
+    has_ext = ext_w >= 0
 
-    def kernel(x_ref, vals_ref, idx_ref, o_ref, xw_ref):
+    def kernel(x_ref, vals_ref, idx_ref, *refs):
+        if has_ext:
+            ext_ref, o_ref, xw_ref = refs
+        else:
+            o_ref, xw_ref = refs
         i = pl.program_id(0)
         xw_ref[:, :] = x_ref[pl.ds(i * chunk, chunk + S), :]
         acc = None
@@ -110,6 +117,9 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
             for w in used[q]:
                 if w < S:        # sliding local strip
                     xs = xw_ref[w:w + chunk, :]
+                elif has_ext and w == ext_w:
+                    # per-group ext panel: group-aligned block rows
+                    xs = ext_ref[:, :]
                 else:            # hot panel: step-invariant broadcast
                     xs = jnp.broadcast_to(
                         x_ref[hp0 + (w - S), :][None, :], (chunk, BC))
@@ -164,6 +174,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             slots: int | str = "auto",
                             hot_k: int | str = "auto",
                             tail_strategy: str = "pallas-pell",
+                            ext: bool | str = "auto",
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
                             ov_max: int = 8, ov_budget: int = 64,
@@ -197,6 +208,26 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     is_local = (off >= 0) & (off < S * BC)
 
     out_cols = cols[~is_local]
+
+    # ---- ext pipeline (ops/ext_gather.py): absorb out-of-window
+    # entries as per-group ext panels built by two exact-f32 Pallas
+    # gather stages. Replaces the hot mechanism (which caps at top-k
+    # and leaves mid-frequency hubs to the ~30 ns/entry XLA tail).
+    from spmv_scpa_tpu.ops import ext_gather
+    plan = None
+    if nnz and out_cols.size and ext in ("auto", True):
+        plan = ext_gather.plan_ext(rows, cols, ~is_local, m, n)
+        if plan is not None and ext == "auto":
+            G_est0 = max(1, -(-m // BC))
+            vpu_ops = G_est0 * plan.H * BC * 3     # stage-2 dominates
+            if (plan.covered < 0.5 or plan.n_out < 2048
+                    or plan.n_out < 0.005 * nnz or vpu_ops > 2e9):
+                plan = None
+    use_ext = plan is not None
+    ext_lane = plan.ext_lane if use_ext else None
+    if use_ext:
+        hot_k = 0                # ext supersedes the top-k hot region
+
     if hot_k == "auto":
         hot_k = _auto_hot_k(out_cols, nnz) if nnz else 0
     Hs = hot_k // BC
@@ -212,6 +243,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         hot_rank[is_local] = -1
 
     eligible = is_local | (hot_rank >= 0)
+    if use_ext:
+        eligible |= ext_lane >= 0
 
     # per-row rank among eligible entries (CSR order = column order)
     if nnz:
@@ -261,9 +294,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     # grid work or ~30 ns/nnz XLA scalar work — measured 1.75 ms for
     # a 2.4k-nnz PELL tail on the 377k-row flagship).
     enc_all = np.where(is_local, off, S * BC + hot_rank)
+    if use_ext:                  # ext strip sits after the hot strips
+        enc_all = np.where(is_local, enc_all,
+                           (S + Hs) * BC + ext_lane)
     strip_all = enc_all // BC
     plane = np.where(take0, sl, -1)           # final plane per entry
-    nw = S + Hs
+    nw = S + Hs + (1 if use_ext else 0)
+    ext_w = (S + Hs) if use_ext else -1
     n_demoted = n_reloc = 0
     unpl = np.empty(0, np.int64)
     if nnz and strip_cov is not None and Q > 0:
@@ -422,22 +459,26 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     idx_d = jax.device_put(jnp.asarray(idx_a))
     hot_d = jax.device_put(jnp.asarray(hot_idx, jnp.int32))
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),              # x resident
+        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_ext:                  # per-group ext panels, step-aligned
+        in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),          # x resident
-            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, BC), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
     )
     call = pl.pallas_call(
-        _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag),
+        _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag, ext_w),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -450,25 +491,53 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 2 * x_bytes + 2 * G_pad * BC * 4
                 + 4 * QT * chunk * BC * 6
                 + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
+                + (chunk * BC * 8 if use_ext else 0)
                 + (8 << 20), 110 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * QT * chunk * BC,
-            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes),
+            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes
+                               + (G_pad * BC * 4 if use_ext else 0)),
             transcendentals=0),
         interpret=interpret,
     )
 
-    def ell_raw(x, vals, idx, hot_i):
-        xf = x.astype(dtype)
-        xp = jnp.zeros((P_pad * BC,), dtype)
-        xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
-        if Hs:
-            xh = jnp.take(xf, hot_i, mode="fill", fill_value=0)
-            xp = jnp.concatenate([xp, xh.astype(dtype)])
-        y = call(xp.reshape(P_pad + Hs, BC), vals, idx)
-        return y.reshape(-1)[:m]
+    if use_ext:
+        p2_a, l2_a = ext_gather.build_group_tables(plan, G_pad)
+        base_d = jax.device_put(jnp.asarray(plan.base))
+        p1_d = jax.device_put(jnp.asarray(plan.p1))
+        l1_d = jax.device_put(jnp.asarray(plan.l1))
+        p2_d = jax.device_put(jnp.asarray(p2_a))
+        l2_d = jax.device_put(jnp.asarray(l2_a))
+        s1_call = ext_gather.make_sorted_gather(
+            plan.n_groups, plan.n1p_blocks, plan.R, dtype, interpret)
+        s2_call = ext_gather.make_ranked_gather(
+            plan.H, G_pad, dtype, interpret)
+        n1 = plan.n1p_blocks * plan.R * BC
 
-    ell_args = (vals_d, idx_d, hot_d)
+        def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2):
+            xf = x.astype(dtype)
+            xp = jnp.zeros((P_pad * BC,), dtype)
+            xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
+            x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
+            hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
+            extp = s2_call(hot, p2, l2)
+            y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
+            return y.reshape(-1)[:m]
+
+        ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
+                    p2_d, l2_d)
+    else:
+        def ell_raw(x, vals, idx, hot_i):
+            xf = x.astype(dtype)
+            xp = jnp.zeros((P_pad * BC,), dtype)
+            xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
+            if Hs:
+                xh = jnp.take(xf, hot_i, mode="fill", fill_value=0)
+                xp = jnp.concatenate([xp, xh.astype(dtype)])
+            y = call(xp.reshape(P_pad + Hs, BC), vals, idx)
+            return y.reshape(-1)[:m]
+
+        ell_args = (vals_d, idx_d, hot_d)
 
     # ---- CSR tail ----------------------------------------------------
     # Tiny tails (demotion remainders, a few k nnz) CANNOT go through a
@@ -549,6 +618,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         nnz=nnz, raw=raw, args=args, hbm_bytes=int(hbm),
         meta={"loc_w": loc_w, "slots": Q, "ov_slots": Qo,
               "hot_k": hot_k,
+              "ext": use_ext,
+              "ext_h": plan.H if use_ext else 0,
+              "ext_groups": plan.n_groups if use_ext else 0,
+              "ext_cov": round(plan.covered, 4) if use_ext else None,
               "strips": S, "hot_strips": Hs, "chunk": chunk,
               "steps": steps, "strip_ops": n_strip_ops,
               "demoted": n_demoted, "relocated": n_reloc,

@@ -49,12 +49,24 @@ def test_strip_cov_disabled_keeps_all_strips():
 
 
 def test_hub_split_engages_on_powerlaw_locality():
-    """amazon archetype: local band + Zipf hubs -> hot_k > 0 and the
-    hot region carries entries (hub split, SURVEY section 7)."""
+    """amazon archetype: local band + Zipf hubs -> an out-of-window
+    mechanism engages (hub split, SURVEY section 7): either the ext
+    gather pipeline (preferred — per-group panels, ops/ext_gather.py)
+    or the top-k hot region it supersedes."""
     A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
     p = _run(A)
-    assert p.meta["hot_k"] > 0
-    assert p.meta["hot_strips"] == p.meta["hot_k"] // 128
+    assert p.meta["ext"] or p.meta["hot_k"] > 0
+    if p.meta["ext"]:
+        assert p.meta["ext_groups"] > 0 and p.meta["ext_cov"] > 0.5
+        assert p.meta["hot_k"] == 0          # superseded
+    else:
+        assert p.meta["hot_strips"] == p.meta["hot_k"] // 128
+
+
+def test_ext_disabled_falls_back_to_hot():
+    A = synth.amazon_csr(m=20000, avg_nnz=4.7, seed=4)
+    p = _run(A, ext=False)
+    assert not p.meta["ext"] and p.meta["hot_k"] > 0
 
 
 def test_tiny_tail_uses_xla_compact():
