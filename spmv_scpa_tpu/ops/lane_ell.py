@@ -259,18 +259,40 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     if slots == "auto":
         # Minimize estimated HBM traffic: each slot plane streams
         # G*BC*(4+2) bytes regardless of fill, while every spilled or
-        # ineligible entry runs the PELL tail at ~TAIL_BPN effective
-        # bytes/nnz (measured scattered-tail fill ~0.2 → ~30 B).
-        # Empirical tail costs are brutal (near-scalar XLA ~30 ns/nnz
-        # == ~22 kB/nnz bandwidth-equivalent; PELL tails pay O(m) grid
-        # work): weight spill heavily so Q absorbs rows whenever the
-        # planes are cheaper than the spill.
+        # ineligible entry runs a tail at ~TAIL_BPN effective
+        # bytes/nnz. Two tail regimes: the chips tail
+        # (ops/chips_tail.py — MXU-reduced 128-lane chips) costs
+        # ~40-80 B/entry equivalent, while the scalar fallbacks are
+        # brutal (near-scalar XLA ~30 ns/nnz == ~22 kB/nnz
+        # bandwidth-equivalent; PELL tails pay O(m) grid work).
+        # Chips eligibility is monotone in Q (a larger Q's spill set
+        # is a subset), so probing it at the smallest realistic Q
+        # bounds every candidate.
+        from spmv_scpa_tpu.ops import chips_tail
+        probe = ~(eligible & (sl < 8))
         TAIL_BPN = 2000
+        if int(np.sum(probe)):
+            pu = np.unique(cols[probe]).size
+            e8 = -(-int(np.sum(probe)) // (8 * BC)) * 8
+            if (-(-pu // BC) <= chips_tail.H_CAP
+                    and e8 * (-(-pu // BC)) * BC * 3
+                    <= chips_tail.VPU_BUDGET):
+                TAIL_BPN = 80
+        # The chips tail ends in one y.at[heavy_rows].add — a scalar
+        # scatter at ~30 ns/row == ~22 kB/row bandwidth-equivalent;
+        # rows longer than Q each become one heavy row. (With the
+        # scalar fallbacks, per-ROW cost is already folded into
+        # TAIL_BPN=2000 per entry.)
+        SCAT_B = 22000 if TAIL_BPN == 80 else 0
+        rl_elig = np.bincount(rows[eligible], minlength=m) if nnz \
+            else np.zeros(1)
         best_cost, Q = None, _Q_CHOICES[-1]
         for cand in _Q_CHOICES:
             spill = int(np.sum(eligible & (sl >= cand))) + \
                 int(np.sum(~eligible))
-            cost = G_est * BC * 6 * cand + TAIL_BPN * spill
+            n_heavy = int(np.sum(rl_elig > cand))
+            cost = (G_est * BC * 6 * cand + TAIL_BPN * spill
+                    + SCAT_B * n_heavy)
             if best_cost is None or cost < best_cost:
                 best_cost, Q = cost, cand
     else:
@@ -554,11 +576,39 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     tail_nnz = int(np.sum(~take)) if nnz else 0
     if "notail" in diag:        # diag-only: results invalid, core cost
         tail_nnz = 0
+    chips_meta = None
     if tail_nnz:
         tm = ~take
         trows, tcols, tvals = rows[tm], cols[tm], A.as_[tm]
         R = np.unique(trows)
-        if tail_nnz <= tail_xla_max:
+        # Chips tail first (ops/chips_tail.py): 128-lane chips with
+        # two-stage Pallas x gather + MXU one-hot row reduction — the
+        # CUDA-k3 block-per-row analog. Preferred whenever the tail is
+        # big enough to beat the XLA compact path's fixed cost and the
+        # dedup'd columns fit the resident-hot / VPU budgets.
+        plan_c = None
+        if tail_nnz >= 2048 and "nochips" not in diag:
+            from spmv_scpa_tpu.ops import chips_tail
+            plan_c = chips_tail.plan_chips(trows, tcols, tvals, m, n)
+        if plan_c is not None:
+            from spmv_scpa_tpu.ops import chips_tail
+            c_raw, c_args, tail_hbm = chips_tail.prepare_chips(
+                plan_c, n, dtype, interpret)
+            tail_kind_used = "chips"
+            chips_meta = {"heavy_rows": plan_c.NH, "hot_h": plan_c.H,
+                          "gather_groups": plan_c.n_groups,
+                          "tile_rows": plan_c.E8,
+                          "windows": plan_c.num_windows}
+
+            def raw(x, *a):
+                y = ell_raw(x, *a[:n_ell])
+                ys, hid = c_raw(x, *a[n_ell:])
+                return y.at[hid].add(
+                    ys.astype(y.dtype), mode="promise_in_bounds",
+                    unique_indices=True)
+
+            args = ell_args + c_args
+        elif tail_nnz <= tail_xla_max:
             seg_d = jax.device_put(jnp.asarray(
                 np.searchsorted(R, trows), jnp.int32))
             tc_d = jax.device_put(jnp.asarray(tcols, jnp.int32))
@@ -628,8 +678,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
               "fill": float(np.sum(take)) / max(G_pad * QT * BC, 1),
               "tail_nnz": tail_nnz,
               "tail_kind": (None if not tail_nnz else
+                            "chips" if chips_meta is not None else
                             "xla-compact" if tail_prep is None
                             else tail_kind_used),
-              "tail_meta": (tail_prep.meta if tail_prep is not None
-                            else None),
+              "tail_meta": (chips_meta if chips_meta is not None
+                            else tail_prep.meta
+                            if tail_prep is not None else None),
               "tail_frac": tail_nnz / max(nnz, 1)})

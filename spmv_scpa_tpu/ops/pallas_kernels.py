@@ -1856,3 +1856,10 @@ def register_all(register, StrategySpec, Prepared):
         "+ SURVEY section 7 hard part 3 (hybrid hub/tail split)",
         prepare=functools.partial(prepare_lane_ell_hybrid,
                                   Prepared=Prepared)))
+    from spmv_scpa_tpu.ops.chips_tail import prepare_chips_strategy
+    register(StrategySpec(
+        "pallas-chips", "CHIPS", "pallas",
+        "cuda_csr.cu:96-140 (k3 block-per-row cooperative reduce) as "
+        "two-stage Pallas gather + MXU one-hot row reduction",
+        prepare=functools.partial(prepare_chips_strategy,
+                                  Prepared=Prepared)))

@@ -77,10 +77,16 @@ def test_tiny_tail_uses_xla_compact():
 
 
 def test_large_tail_uses_pallas_strategy():
+    """Big tails prefer chips; with chips diag-disabled they fall back
+    to the registered pallas-pell strategy."""
     A = synth.powerlaw_csr(8000, avg_nnz=30, seed=5)
     p = _run(A, tail_xla_max=100)
-    if p.meta["tail_nnz"] > 100:
-        assert p.meta["tail_kind"] == "pallas-pell"
+    if p.meta["tail_nnz"] > 2048:
+        assert p.meta["tail_kind"] == "chips"
+    p2 = prepare_lane_ell_hybrid(A, interpret=True, tail_xla_max=100,
+                                 diag="nochips")
+    if p2.meta["tail_nnz"] > 100:
+        assert p2.meta["tail_kind"] == "pallas-pell"
 
 
 def test_recursive_tail_on_local_residual():
@@ -135,3 +141,57 @@ def test_vmem_budget_guard():
                      np.ones(rows.size))
     with pytest.raises(ValueError, match="VMEM"):
         prepare_lane_ell_hybrid(A, interpret=True)
+
+
+# ---- chips tail (ops/chips_tail.py) --------------------------------
+
+def test_chips_tail_engages_on_forced_spill():
+    """Long-row spill rides the chips tail (two-stage gather + MXU
+    one-hot reduction) instead of the scalar XLA compact path."""
+    A = synth.powerlaw_csr(8000, avg_nnz=30, seed=5)
+    p = _run(A, slots=4, tail_xla_max=100)
+    assert p.meta["tail_kind"] == "chips"
+    tm = p.meta["tail_meta"]
+    assert tm["heavy_rows"] > 0 and tm["hot_h"] > 0
+
+
+def test_chips_disabled_by_diag_falls_back():
+    A = synth.powerlaw_csr(8000, avg_nnz=30, seed=5)
+    p = prepare_lane_ell_hybrid(A, interpret=True, slots=4,
+                                tail_xla_max=100, diag="nochips")
+    assert p.meta["tail_kind"] != "chips"
+
+
+def test_chips_standalone_strategy():
+    """pallas-chips: the whole matrix as cooperative chips (CUDA k3
+    block-per-row analog, cuda_csr.cu:96-140)."""
+    from spmv_scpa_tpu.ops.chips_tail import prepare_chips_strategy
+    for A in (synth.powerlaw_csr(3000, avg_nnz=20, seed=7),
+              synth.banded_csr(500, row_nnz=9, bandwidth=64, seed=8),
+              synth.amazon_csr(m=5000, seed=9)):
+        prep = prepare_chips_strategy(A, interpret=True)
+        x = make_x(A.n)
+        got = np.asarray(prep.fn(x), dtype=np.float64)
+        validate_result(spmv_oracle(A, x), got,
+                        what=f"pallas-chips on {A.name}")
+
+
+def test_chips_strategy_registered():
+    from spmv_scpa_tpu.ops.registry import list_strategies
+    assert "pallas-chips" in list_strategies()
+
+
+def test_chips_single_row_and_column_edge():
+    """One mega-row (all entries in row 0) exercises single heavy
+    block + multi-quanta windows."""
+    rng = np.random.default_rng(3)
+    n = 4000
+    cols = np.unique(rng.integers(0, n, 600))
+    rows = np.zeros(cols.size, np.int64)
+    vals = rng.standard_normal(cols.size)
+    A = CSR.from_coo("megarow", 16, n, rows, cols, vals)
+    from spmv_scpa_tpu.ops.chips_tail import prepare_chips_strategy
+    prep = prepare_chips_strategy(A, interpret=True)
+    x = make_x(A.n)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    validate_result(spmv_oracle(A, x), got, what="pallas-chips megarow")
