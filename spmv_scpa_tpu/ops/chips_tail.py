@@ -265,6 +265,9 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
     return Prepared(
         "pallas-chips", A.name, bind(raw, c_args), on_device=True,
         nnz=A.nnz, raw=raw, args=c_args, hbm_bytes=hbm,
-        meta={"heavy_rows": plan.NH, "hot_h": plan.H,
+        # chunk is not a tuning axis here: report the fixed
+        # rows_per_step so the runner's chunk sweep dedups to one row
+        meta={"chunk": plan.rows_per_step,
+              "heavy_rows": plan.NH, "hot_h": plan.H,
               "gather_groups": plan.n_groups, "tile_rows": plan.E8,
               "windows": plan.num_windows})
