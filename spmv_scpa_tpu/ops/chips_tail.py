@@ -11,29 +11,41 @@ ride the near-scalar XLA compact tail at ~18 ns/entry = ~0.3 ms while
 the whole 1M-entry core runs 0.2 ms.
 
 This module turns the spill into device-friendly work by composing
-three EXISTING kernels — no new Pallas code:
+existing kernels:
 
 1. **stage-1 sorted gather** (ext_gather.make_sorted_gather): the
    tail's globally-sorted unique columns, packed <= 1024 per R-aligned
-   x window, become a compact VMEM "hot region" (H, 128). Unique-col
+   x window, become a compact "hot region" (H, 128). Unique-col
    spacing makes the windows tiny even when raw entries scatter.
-2. **stage-2 ranked gather** (ext_gather.make_ranked_gather): every
-   tail ENTRY reads its x value from the resident hot region —
-   out xg[e] = hot[pos[col[e]]] in the chip layout below.
+2. **stage-2 gather**: every tail ENTRY reads its x value from the hot
+   region into the chip layout below. Two flavors:
+   * *resident* (ext_gather.make_ranked_gather) — O(H) mask-reduce per
+     output row; fine while H <= H_CAP.
+   * *windowed* (ext_gather.make_resident_window_gather) — entries
+     within a row are column-sorted, so a chip row's hot positions sit
+     in a small window; O(R_h) per row unlocks webbase-class tails
+     whose dedup'd column count is far past the resident budget.
 3. **windowed one-hot MXU segment-sum** (segsum_kernel
-   .make_window_segsum): heavy rows are sorted by length and grouped
-   8 to a *block*; chip quantum (tile t, lane q) holds the rank-k
-   entries of block b(t,q)'s 8 rows in its 8 sublanes — exactly the
-   (total_tile_rows, nq) partial layout the segsum kernel consumes.
-   prod = vals * xg elementwise IS the partial array; the kernel's
-   bf16x3 one-hot dot reduces it to per-row sums with zero scatter.
+   .make_window_segsum): heavy rows are grouped 8 to a *block*; chip
+   quantum (tile t, lane q) holds the rank-k entries of block b(t,q)'s
+   8 rows in its 8 sublanes — exactly the (total_tile_rows, nq)
+   partial layout the segsum kernel consumes. prod = vals * xg
+   elementwise IS the partial array; the kernel's bf16x3 one-hot dot
+   reduces it to per-row sums with zero scatter.
 
-A final ``y.at[heavy_ids].add`` (unique indices, one per heavy ROW —
-hundreds, not thousands of entries) is the only scalar-ish step left.
+**Split mode** (plan_chips_split): when the whole tail's uniques
+exceed the resident budget, entries split by diagonal distance:
+*local* entries (94% on the webbase archetype) ride the windowed
+gather over a large near-diagonal hot region; *far* entries (plus any
+local entry whose chip-row window overflows) dedup hard (webbase: 49k
+far entries -> 123 hot sublanes) and ride the resident gather. Both
+streams share one heavy-row/block space; their segsums add before the
+single ``y.at[heavy_ids].add`` — the only scalar-ish step left.
 
-Length-sorting the heavy rows keeps block fill near 1 (a block's
-quanta count is its max row length); the per-entry tables are host
-NumPy; device arrays travel as jit arguments per repo convention.
+Heavy rows sort by (ceil-log2 length, row id): blocks get similar
+lengths (fill ~1: a block's quanta count is its max row length) AND
+nearby row ids (small local windows). Tables are host NumPy; device
+arrays travel as jit arguments per repo convention.
 """
 
 from __future__ import annotations
@@ -47,15 +59,99 @@ from spmv_scpa_tpu.formats.panel_ell import BC
 from spmv_scpa_tpu.ops import ext_gather
 from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
 
-# stage-2 resident hot cap, in 8-row sublane units (= ext_gather.H_MAX:
+# resident stage-2 hot cap, in 8-row sublane units (= ext_gather.H_MAX:
 # 1024 sublanes * 128 lanes * 4 B = 512 KB of VMEM).
 H_CAP = ext_gather.H_MAX
-# stage-2 VPU budget: each output sublane-row costs H*BC*3 ops; keep
-# the whole gather under ~2e8 ops (~0.1 ms at a conservative 2 Tops).
+# stage-2 VPU budgets: each output sublane-row costs H*BC*3 (resident)
+# or R_h*BC*3 (windowed) ops; ~2 Tops VPU => 2e8 ops ~ 0.1 ms.
 VPU_BUDGET = 2e8
-# stage-1 window reach (panels); tail uniques are dense after dedup so
-# modest windows suffice, but wide spacing still plans (more groups).
+SPLIT_VPU_BUDGET = 6e8
+# default stage-1 window reach (panels); adaptive per unique spacing.
 R_PANELS = 512
+# windowed stage-2 reach (sublanes of the hot region) and resident-hot
+# VMEM cap for the windowed kernel (full hot lives in VMEM).
+R_HOT = 128
+H_WIN_CAP = 16384            # 8 MB f32
+# local/far diagonal split distance
+W_LOC = 4096
+
+
+def _adaptive_r(uniq: np.ndarray, cap: int = R_PANELS) -> int:
+    """Stage-1 window reach: smallest power-of-two panel count whose
+    windows hold 1024 consecutive uniques (dedup makes them dense)."""
+    if uniq.size <= 8 * BC:
+        span = int(uniq[-1] // BC - uniq[0] // BC) + 1 if uniq.size \
+            else 1
+    else:
+        s = uniq[8 * BC - 1:] // BC - uniq[:-(8 * BC) + 1] // BC
+        span = int(s.max()) + 1
+    r = 8
+    while r < span and r < cap:
+        r *= 2
+    return r
+
+
+def _pack_sorted_uniques(uniq: np.ndarray, n: int, r_cap: int):
+    """Pack sorted unique columns into <=1024-entry groups sharing one
+    r_cap-panel-aligned x window. Returns (base, p1, l1, pos, Hs,
+    n_groups, n1p_blocks) — the stage-1 tables plus each unique's hot
+    slot ``pos``."""
+    region = uniq // (r_cap * BC)
+    reg_u, reg_start = np.unique(region, return_index=True)
+    reg_end = np.r_[reg_start[1:], uniq.size]
+    base_l: list[int] = []
+    pos = np.empty(uniq.size, np.int64)
+    cursor = 0
+    for r0, s, e in zip(reg_u, reg_start, reg_end):
+        for a in range(s, e, 8 * BC):
+            sel = np.arange(a, min(a + 8 * BC, e))
+            base_l.append(int(r0))
+            pos[sel] = cursor * BC + (sel - a)
+            cursor += 8
+    n_groups = len(base_l)
+    Hs = cursor
+    n_panels = -(-n // BC)
+    n1p_blocks = max(-(-n_panels // r_cap), int(max(base_l)) + 1)
+    p1 = np.zeros((n_groups * 8, BC), np.int32)
+    l1 = np.zeros((n_groups * 8, BC), np.int32)
+    srow, slane = pos // BC, pos % BC
+    p1[srow, slane] = (uniq // BC
+                       - np.asarray(base_l, np.int64)[srow // 8]
+                       * r_cap)
+    l1[srow, slane] = uniq % BC
+    return (np.asarray(base_l, np.int32), p1, l1, pos, Hs, n_groups,
+            n1p_blocks)
+
+
+def _window_pack(blk_w: np.ndarray, num_windows: int, h: int,
+                 qps: int):
+    """Assign quanta (block-major) to a window-grouped padded stream.
+    Every window gets >= 1 step (unvisited segsum output blocks would
+    be uninitialized VMEM). Returns (new_q, win_of_step, n_q_pad)."""
+    q_blk = np.repeat(np.arange(blk_w.size), blk_w)
+    q_win = q_blk // h
+    n_q = q_blk.size
+    new_q = np.full(n_q, -1, np.int64)
+    win_of_step_l: list[int] = []
+    cur = 0
+    for w in range(num_windows):
+        qi = np.flatnonzero(q_win == w)
+        new_q[qi] = cur + np.arange(qi.size)
+        n_steps_w = max(1, -(-qi.size // qps))
+        win_of_step_l.extend([w] * n_steps_w)
+        cur += n_steps_w * qps
+    rbl_src = (q_blk - q_win * h).astype(np.int32)
+    return new_q, rbl_src, np.asarray(win_of_step_l, np.int64), cur
+
+
+def _subset_ranks(sel: np.ndarray, e_row_i: np.ndarray, NH: int):
+    """Rank of each selected entry among its row's selected entries
+    (entries row-grouped in input order)."""
+    excl = np.cumsum(sel) - sel
+    start = np.full(NH, np.iinfo(np.int64).max, np.int64)
+    if sel.any():
+        np.minimum.at(start, e_row_i[sel], excl[sel])
+    return excl - start[e_row_i]
 
 
 class ChipsPlan:
@@ -69,102 +165,92 @@ class ChipsPlan:
             setattr(self, k, v)
 
 
+class _Stream:
+    """One gather+segsum stream of a split plan."""
+    __slots__ = ("kind", "base1", "p1", "l1", "n1p_blocks", "r1", "H",
+                 "E8", "p2", "l2", "vals", "rbl", "win_of_step",
+                 "base8", "H_pad", "r_hot", "n_entries")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+class SplitChipsPlan:
+    __slots__ = ("n_e", "h", "rows_per_step", "num_windows",
+                 "heavy_ids", "NH", "loc", "far")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _heavy_index(rows: np.ndarray, by_len_only: bool):
+    hr, first, cnt = np.unique(rows, return_index=True,
+                               return_counts=True)
+    NH = int(hr.size)
+    if by_len_only:
+        order = np.argsort(-cnt, kind="stable")
+    else:       # (ceil-log2 length, row id): similar length AND nearby
+        lg = np.ceil(np.log2(np.maximum(cnt, 1))).astype(np.int64)
+        order = np.argsort((lg << 44) + hr, kind="stable")
+    hpos_of_row = np.empty(NH, np.int64)
+    hpos_of_row[order] = np.arange(NH)
+    e_row_i = np.searchsorted(hr, rows)
+    e_hpos = hpos_of_row[e_row_i]
+    return hr[order], hpos_of_row, e_row_i, e_hpos, first, cnt, NH
+
+
 def plan_chips(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
                m: int, n: int, h: int = 256,
-               rows_per_step: int = 8) -> ChipsPlan | None:
+               rows_per_step: int = 8):
     """Plan the chips tail for ``(rows, cols, vals)`` entries (CSR
-    order). Returns None when the tail is out of the resident-hot /
-    VPU budgets (caller falls back to the XLA compact tail)."""
+    order): single resident pipeline when the dedup'd columns fit the
+    budgets, else the local/far split. Returns None when neither fits
+    (caller falls back)."""
     n_e = int(rows.size)
     if n_e == 0:
         return None
+    uniq = np.unique(cols)
+    e8_est = -(-n_e // BC) + 2 * (-(-int(np.unique(rows).size) // 8))
+    Hs_est = -(-uniq.size // BC) + 8   # + group-split padding slack
+    if (Hs_est <= H_CAP
+            and e8_est * Hs_est * BC * 3 <= VPU_BUDGET):
+        p = _plan_single(rows, cols, vals, m, n, h, rows_per_step)
+        if p is not None:
+            return p
+    return plan_chips_split(rows, cols, vals, m, n, h, rows_per_step)
 
-    # ---- stage-1: dedup columns, pack sorted uniques into R-aligned
-    # window groups (same packing as ext_gather.plan_ext but global —
-    # no per-group cap: every entry is covered by construction).
+
+def _plan_single(rows, cols, vals, m, n, h, rows_per_step):
+    n_e = int(rows.size)
     uniq, inv = np.unique(cols, return_inverse=True)
-    if -(-uniq.size // BC) > H_CAP:
-        return None
-    region = uniq // (R_PANELS * BC)
-    reg_u, reg_start = np.unique(region, return_index=True)
-    reg_end = np.r_[reg_start[1:], uniq.size]
-    base_l: list[int] = []
-    pos = np.empty(uniq.size, np.int64)
-    cursor = 0
-    for r0, s, e in zip(reg_u, reg_start, reg_end):
-        for a in range(s, e, 8 * BC):
-            sel = np.arange(a, min(a + 8 * BC, e))
-            base_l.append(int(r0))
-            pos[sel] = cursor * BC + (sel - a)
-            cursor += 8
-    n_groups = len(base_l)
-    Hs = cursor                       # hot sublanes incl. group pad
+    r1 = _adaptive_r(uniq)
+    base, p1, l1, pos, Hs, n_groups, n1p_blocks = \
+        _pack_sorted_uniques(uniq, n, r1)
     if Hs > H_CAP:
         return None
-    n_panels = -(-n // BC)
-    n1p_blocks = max(-(-n_panels // R_PANELS), int(max(base_l)) + 1)
-    p1 = np.zeros((n_groups * 8, BC), np.int32)
-    l1 = np.zeros((n_groups * 8, BC), np.int32)
-    srow, slane = pos // BC, pos % BC
-    p1[srow, slane] = (uniq // BC
-                       - np.asarray(base_l, np.int64)[srow // 8]
-                       * R_PANELS)
-    l1[srow, slane] = uniq % BC
 
-    # ---- chip layout: heavy rows length-sorted, 8 to a block;
-    # quantum (tile t, lane q) = one block x one rank; sublane = row
-    # position within the block. Entry (r, k) -> table position
-    # (tile, sublane, lane).
-    hr_ids, first, counts = np.unique(rows, return_index=True,
-                                      return_counts=True)
-    NH = int(hr_ids.size)
-    order = np.argsort(-counts, kind="stable")   # longest first
-    hr_sorted = hr_ids[order]
-    hpos_of_row = np.empty(NH, np.int64)         # row -> heavy index
-    hpos_of_row[order] = np.arange(NH)
-    # per-entry: heavy index + rank within row (entries row-grouped)
-    e_hpos = hpos_of_row[np.searchsorted(hr_ids, rows)]
-    rank = np.arange(n_e) - first[np.searchsorted(hr_ids, rows)]
-    blk = e_hpos // 8                            # heavy block
-    sub = e_hpos % 8                             # sublane in block
-    # quanta: per (block, rank); block quanta are contiguous, blocks
-    # in index order (descending length => block 0 widest).
-    cnt_sorted = counts[order]
-    blk_w = np.zeros(-(-NH // 8), np.int64)      # quanta per block
+    hr_sorted, hpos_of_row, e_row_i, e_hpos, first, cnt, NH = \
+        _heavy_index(rows, by_len_only=True)
+    blk = e_hpos // 8
+    sub = e_hpos % 8
+    cnt_sorted = np.zeros(NH, np.int64)
+    cnt_sorted[hpos_of_row] = cnt
+    blk_w = np.zeros(-(-NH // 8), np.int64)
     np.maximum.at(blk_w, np.arange(NH) // 8, cnt_sorted)
-    blk_q0 = np.concatenate([[0], np.cumsum(blk_w)])
-    q_of_e = blk_q0[blk] + rank                  # global quantum id
-    n_q = int(blk_q0[-1])
-
-    # segsum stream: quanta windows of h blocks; each step's quanta
-    # must share a window -> pad each window's quanta count to a
-    # rows_per_step-tile multiple. nq = BC quanta per tile row.
-    q_blk = np.repeat(np.arange(blk_w.size), blk_w)
-    q_win = q_blk // h
-    num_windows = int(q_win.max()) + 1 if n_q else 1
-    # pad per window to full tiles (rows_per_step sublanes x BC lanes
-    # = rows_per_step//8 * BC quanta per step)
+    num_windows = max(1, -(-int(blk_w.size) // h))
     qps = (rows_per_step // 8) * BC
-    new_q = np.full(n_q, -1, np.int64)
-    win_of_step_l: list[int] = []
-    cur = 0
-    for w in range(num_windows):
-        qi = np.flatnonzero(q_win == w)
-        new_q[qi] = cur + np.arange(qi.size)
-        n_steps_w = -(-qi.size // qps)
-        win_of_step_l.append(w)
-        win_of_step_l.extend([w] * (n_steps_w - 1))
-        cur += n_steps_w * qps
-    n_q_pad = cur
-    q_of_e = new_q[q_of_e]
+    new_q, rbl_src, win_of_step, n_q_pad = _window_pack(
+        blk_w, num_windows, h, qps)
+    blk_q0 = np.concatenate([[0], np.cumsum(blk_w)])
+    rank = np.arange(n_e) - first[e_row_i]
+    q_of_e = new_q[blk_q0[blk] + rank]
     steps = n_q_pad // qps
-    win_of_step = np.asarray(win_of_step_l, np.int64)
-
-    E8 = steps * rows_per_step                   # total tile rows
-    if (E8 // 8) * 8 * Hs * BC * 3 > VPU_BUDGET:
+    E8 = steps * rows_per_step
+    if E8 * Hs * BC * 3 > VPU_BUDGET:
         return None
 
-    # per-entry tables in the (tile, sublane, lane) layout
     tile = q_of_e // BC
     lane = q_of_e % BC
     erow = tile * 8 + sub
@@ -172,26 +258,222 @@ def plan_chips(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     p2 = np.zeros((E8, BC), np.int32)
     l2 = np.zeros((E8, BC), np.int32)
     vals_a[erow, lane] = vals
-    hotpos = pos[inv]                            # per-entry hot slot
+    hotpos = pos[inv]
     p2[erow, lane] = (hotpos // BC).astype(np.int32)
     l2[erow, lane] = (hotpos % BC).astype(np.int32)
-
-    # rbl: window-local block id per quantum, (E8//8 * BC,) in
-    # (tile, lane) order; padding quanta -> h (matches no one-hot row)
     rbl = np.full(n_q_pad, h, np.int32)
-    rbl[new_q] = (q_blk - q_win * h).astype(np.int32)
+    rbl[new_q] = rbl_src
 
     return ChipsPlan(
-        n_e=n_e, H=Hs, n_groups=n_groups, R=R_PANELS,
-        n1p_blocks=n1p_blocks, base=np.asarray(base_l, np.int32),
+        n_e=n_e, H=Hs, n_groups=n_groups, R=r1,
+        n1p_blocks=n1p_blocks, base=base,
         p1=p1, l1=l1, E8=E8, p2=p2, l2=l2, vals=vals_a, rbl=rbl,
         win_of_step=win_of_step, num_windows=num_windows, h=h,
         rows_per_step=rows_per_step, heavy_ids=hr_sorted, NH=NH)
 
 
-def prepare_chips(plan: ChipsPlan, n: int, dtype, interpret: bool):
-    """Build ``raw(x, *args) -> y_add`` (length-m add-contribution is
-    done by the caller via heavy_ids scatter) + device args."""
+def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
+                     rows_per_step: int = 8, w_loc: int = W_LOC,
+                     r_hot: int | None = None):
+    """Local/far split plan (module docstring). Returns None when the
+    far side exceeds the resident budgets."""
+    n_e = int(rows.size)
+    if n_e == 0:
+        return None
+    hr_sorted, hpos_of_row, e_row_i, e_hpos, first, cnt, NH = \
+        _heavy_index(rows, by_len_only=False)
+    blk = e_hpos // 8
+    sub = e_hpos % 8
+    nblocks = -(-NH // 8)
+    num_windows = max(1, -(-nblocks // h))
+    qps = (rows_per_step // 8) * BC
+
+    loc = np.abs(cols - rows) <= w_loc
+
+    def _cnt_per_hpos(sel):
+        c = np.zeros(NH, np.int64)
+        if sel.any():
+            np.add.at(c, e_hpos[sel], 1)
+        return c
+
+    def _blk_w(cnt_h):
+        bw = np.zeros(nblocks, np.int64)
+        np.maximum.at(bw, np.arange(NH) // 8, cnt_h)
+        return bw
+
+    # ---- LOCAL stream (windowed stage-2) -----------------------------
+    stream_l = None
+    migrate = np.zeros(n_e, bool)
+    if loc.any():
+        uniq_l = np.unique(cols[loc])
+        r1l = _adaptive_r(uniq_l)
+        base1, p1, l1, posu, Hl, ngl, n1pb = _pack_sorted_uniques(
+            uniq_l, n, r1l)
+        if Hl + (r_hot or 512) > H_WIN_CAP:
+            return None
+        blk_wl = _blk_w(_cnt_per_hpos(loc))
+        # Round every block's quanta up to full tiles (BC quanta) so a
+        # tile never crosses blocks: each table row then holds 128
+        # consecutive column-sorted entries of ONE row, whose hot
+        # positions are non-decreasing — tight per-tile windows even
+        # for mid-length rows whose diagonals are far apart (measured:
+        # unpadded tiles mixed ~40 narrow blocks and spanned 4.5k hot
+        # sublanes; padded spans track the row's own locality, ~30).
+        blk_wl = np.where(blk_wl > 0, -(-blk_wl // BC) * BC, 0)
+        new_q, rbl_src, wos, n_q_pad = _window_pack(
+            blk_wl, num_windows, h, qps)
+        blk_q0 = np.concatenate([[0], np.cumsum(blk_wl)])
+        rank_l = _subset_ranks(loc, e_row_i, NH)
+        li = np.flatnonzero(loc)
+        q_of_e = new_q[blk_q0[blk[li]] + rank_l[li]]
+        steps = n_q_pad // qps
+        E8 = steps * rows_per_step
+        tile = q_of_e // BC
+        lane = q_of_e % BC
+        erow = tile * 8 + sub[li]
+        pos_e = posu[np.searchsorted(uniq_l, cols[li])]
+        psub = pos_e // BC
+        # per-TABLE-ROW window base, 8-sublane units (each table row
+        # holds one heavy row's consecutive column-sorted entries, so
+        # its hot positions span that row's own locality). Entries
+        # past the window reach migrate to the far stream (their
+        # slots stay as zero padding — layout needs no recompute).
+        tmin = np.full(E8, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(tmin, erow, psub)
+        base8 = np.where(tmin == np.iinfo(np.int64).max, 0,
+                         tmin // 8).astype(np.int32)
+        off = psub - base8[erow].astype(np.int64) * 8
+        if r_hot is None:
+            # adaptive reach: cover ~97% of entries (the rest migrate
+            # to the far stream), pow2-rounded; the windowed gather's
+            # VPU cost is O(E8 * r_hot) so small spans pay directly
+            tgt = int(np.percentile(off, 97)) + 1 if off.size else 1
+            r_hot = 32
+            while r_hot < tgt and r_hot < 512:
+                r_hot *= 2
+        if E8 * r_hot * BC * 3 > SPLIT_VPU_BUDGET:
+            return None
+        fits = off < r_hot
+        migrate[li[~fits]] = True
+        ef, lf, oi = erow[fits], lane[fits], li[fits]
+        vals_a = np.zeros((E8, BC), np.float32)
+        p2 = np.zeros((E8, BC), np.int32)
+        l2 = np.zeros((E8, BC), np.int32)
+        vals_a[ef, lf] = vals[oi]
+        p2[ef, lf] = off[fits].astype(np.int32)
+        l2[ef, lf] = (pos_e[fits] % BC).astype(np.int32)
+        rbl = np.full(n_q_pad, h, np.int32)
+        rbl[new_q] = rbl_src
+        H_pad = int(base8.max(initial=0)) * 8 + r_hot
+        stream_l = _Stream(kind="windowed", base1=base1, p1=p1, l1=l1,
+                           n1p_blocks=n1pb, r1=r1l, H=Hl, E8=E8,
+                           p2=p2, l2=l2, vals=vals_a, rbl=rbl,
+                           win_of_step=wos, base8=base8, H_pad=H_pad,
+                           r_hot=r_hot, n_entries=int(fits.sum()))
+
+    # ---- FAR stream (resident stage-2) -------------------------------
+    far = (~loc) | migrate
+    stream_f = None
+    if far.any():
+        uniq_f = np.unique(cols[far])
+        if -(-uniq_f.size // BC) > H_CAP:
+            return None
+        r1f = _adaptive_r(uniq_f)
+        base1, p1, l1, posu, Hf, ngf, n1pb = _pack_sorted_uniques(
+            uniq_f, n, r1f)
+        if Hf > H_CAP:
+            return None
+        blk_wf = _blk_w(_cnt_per_hpos(far))
+        new_q, rbl_src, wos, n_q_pad = _window_pack(
+            blk_wf, num_windows, h, qps)
+        blk_q0 = np.concatenate([[0], np.cumsum(blk_wf)])
+        rank_f = _subset_ranks(far, e_row_i, NH)
+        fi = np.flatnonzero(far)
+        q_of_e = new_q[blk_q0[blk[fi]] + rank_f[fi]]
+        steps = n_q_pad // qps
+        E8 = steps * rows_per_step
+        if E8 * Hf * BC * 3 > SPLIT_VPU_BUDGET:
+            return None
+        tile = q_of_e // BC
+        lane = q_of_e % BC
+        erow = tile * 8 + sub[fi]
+        pos_e = posu[np.searchsorted(uniq_f, cols[fi])]
+        vals_a = np.zeros((E8, BC), np.float32)
+        p2 = np.zeros((E8, BC), np.int32)
+        l2 = np.zeros((E8, BC), np.int32)
+        vals_a[erow, lane] = vals[fi]
+        p2[erow, lane] = (pos_e // BC).astype(np.int32)
+        l2[erow, lane] = (pos_e % BC).astype(np.int32)
+        rbl = np.full(n_q_pad, h, np.int32)
+        rbl[new_q] = rbl_src
+        stream_f = _Stream(kind="resident", base1=base1, p1=p1, l1=l1,
+                           n1p_blocks=n1pb, r1=r1f, H=Hf, E8=E8,
+                           p2=p2, l2=l2, vals=vals_a, rbl=rbl,
+                           win_of_step=wos, base8=None, H_pad=Hf,
+                           r_hot=0, n_entries=int(far.sum()))
+
+    if stream_l is None and stream_f is None:
+        return None
+    return SplitChipsPlan(n_e=n_e, h=h, rows_per_step=rows_per_step,
+                          num_windows=num_windows,
+                          heavy_ids=hr_sorted, NH=NH,
+                          loc=stream_l, far=stream_f)
+
+
+def _prepare_stream(s: _Stream, n: int, h: int, rows_per_step: int,
+                    num_windows: int, dtype, interpret: bool):
+    """Device pipeline for one stream: returns (fn(x)->ys, args)."""
+    ng1 = s.p1.shape[0] // 8
+    s1 = ext_gather.make_sorted_gather(ng1, s.n1p_blocks, s.r1, dtype,
+                                       interpret)
+    if s.kind == "windowed":
+        s2 = ext_gather.make_resident_window_gather(
+            s.E8 // 8, s.r_hot, s.H_pad, dtype, interpret)
+    else:
+        s2 = ext_gather.make_ranked_gather(s.H, s.E8, dtype, interpret)
+    seg_fn, seg_args = make_window_segsum(
+        win_of_step=s.win_of_step, num_windows=num_windows, h=h,
+        rows_per_step=rows_per_step, nq=BC, total_tile_rows=s.E8,
+        dtype=dtype, interpret=interpret)
+    n1 = s.n1p_blocks * s.r1 * BC
+    dev = [jax.device_put(jnp.asarray(a)) for a in
+           (s.base1, s.p1, s.l1, s.p2, s.l2)]
+    dev.append(jax.device_put(jnp.asarray(s.vals, dtype)))
+    dev.append(jax.device_put(jnp.asarray(s.rbl, jnp.int32)))
+    if s.kind == "windowed":
+        dev.append(jax.device_put(jnp.asarray(s.base8)))
+    dev.extend(seg_args)
+    n_args = len(dev)
+    pad_h = s.H_pad - ng1 * 8
+    kind = s.kind
+
+    def fn(x, *a):
+        base1, p1, l1, p2, l2, vals, rbl = a[:7]
+        rest = a[7:]
+        xf = x.astype(dtype)
+        x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
+        hot = s1(base1, x1.reshape(-1, BC), p1, l1)
+        if kind == "windowed":
+            base8 = rest[0]
+            seg_a = rest[1:]
+            if pad_h > 0:
+                hot = jnp.pad(hot, ((0, pad_h), (0, 0)))
+            elif pad_h < 0:
+                hot = hot[:s.H_pad]
+            xg = s2(base8, hot, p2, l2)
+        else:
+            seg_a = rest
+            xg = s2(hot, p2, l2)
+        return seg_fn(vals * xg, rbl, *seg_a)
+
+    return fn, tuple(dev), n_args
+
+
+def prepare_chips(plan, n: int, dtype, interpret: bool):
+    """Build ``raw(x, *args) -> (ys, heavy_ids)`` + device args.
+    Dispatches on single vs split plan."""
+    if isinstance(plan, SplitChipsPlan):
+        return _prepare_chips_split(plan, n, dtype, interpret)
     s1 = ext_gather.make_sorted_gather(
         plan.n_groups, plan.n1p_blocks, plan.R, dtype, interpret)
     s2 = ext_gather.make_ranked_gather(plan.H, plan.E8, dtype,
@@ -231,14 +513,41 @@ def prepare_chips(plan: ChipsPlan, n: int, dtype, interpret: bool):
     return raw_contrib, args, int(hbm)
 
 
+def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
+    parts = []
+    for s in (plan.loc, plan.far):
+        if s is not None:
+            parts.append(_prepare_stream(
+                s, n, plan.h, plan.rows_per_step, plan.num_windows,
+                dtype, interpret))
+    hid_d = jax.device_put(jnp.asarray(plan.heavy_ids, jnp.int32))
+    NH = plan.NH
+
+    def raw_contrib(x, *a):
+        hid = a[0]
+        off = 1
+        ys = None
+        for fn, _, n_args in parts:
+            t = fn(x, *a[off:off + n_args])
+            off += n_args
+            ys = t if ys is None else ys + t
+        return ys.reshape(-1)[:NH], hid
+
+    args = (hid_d,) + tuple(d for _, dev, _ in parts for d in dev)
+    hbm = sum(s.E8 * BC * 16 + s.H_pad * BC * 4
+              for s in (plan.loc, plan.far) if s is not None) \
+        + plan.NH * 4
+    return raw_contrib, args, int(hbm)
+
+
 def prepare_chips_strategy(A, dtype=jnp.float32,
                            interpret: bool | None = None,
                            Prepared=None, **_):
     """Standalone ``pallas-chips`` strategy: the whole matrix as
     chips — a pure CSR-vector SpMV (every row cooperatively reduced,
     the CUDA k3 shape) with zero format assumptions. Wins when rows
-    are long/imbalanced and the dedup'd column set fits the resident
-    hot region; refuses (ValueError) otherwise so sweeps skip it."""
+    are long/imbalanced; refuses (ValueError) when even the split plan
+    exceeds the gather budgets so sweeps skip it."""
     from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
     from spmv_scpa_tpu.ops.registry import bind
     if Prepared is None:
@@ -262,12 +571,21 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
             ys.astype(dtype), mode="promise_in_bounds",
             unique_indices=True)
 
+    split = isinstance(plan, SplitChipsPlan)
+    meta = {"chunk": plan.rows_per_step, "heavy_rows": plan.NH,
+            "windows": plan.num_windows, "split": split}
+    if split:
+        meta["loc_entries"] = plan.loc.n_entries if plan.loc else 0
+        meta["far_entries"] = plan.far.n_entries if plan.far else 0
+        meta["hot_h"] = (plan.loc.H if plan.loc else 0,
+                         plan.far.H if plan.far else 0)
+    else:
+        meta["hot_h"] = plan.H
+        meta["gather_groups"] = plan.n_groups
+        meta["tile_rows"] = plan.E8
     return Prepared(
         "pallas-chips", A.name, bind(raw, c_args), on_device=True,
         nnz=A.nnz, raw=raw, args=c_args, hbm_bytes=hbm,
         # chunk is not a tuning axis here: report the fixed
         # rows_per_step so the runner's chunk sweep dedups to one row
-        meta={"chunk": plan.rows_per_step,
-              "heavy_rows": plan.NH, "hot_h": plan.H,
-              "gather_groups": plan.n_groups, "tile_rows": plan.E8,
-              "windows": plan.num_windows})
+        meta=meta)

@@ -138,6 +138,55 @@ def make_ranked_gather(H: int, G_pad: int, dtype, interpret: bool,
         interpret=interpret)
 
 
+def make_resident_window_gather(n_out_groups: int, R_h: int,
+                                H_pad: int, dtype, interpret: bool):
+    """Windowed stage-2: (base8, hot, p, l) -> out (n_out_groups*8, BC)
+    with out[r, j] = hot[base8[r]*8 + p[r%8,j], l[r%8,j]] — a PER-ROW
+    window base (``base8`` has one entry per output row, 8-sublane
+    units).
+
+    ``hot`` (H_pad, BC) stays fully VMEM-resident; per output row an
+    (R_h, BC) dynamic sublane slice (the proven lane_ell
+    sliding-window pattern, ops/lane_ell.py) feeds the usual
+    mask-gather — O(R_h) per output row instead of O(H), which unlocks
+    hot regions far past the resident-reduction budget (webbase-class:
+    4k+ sublanes of dedup'd near-diagonal columns, each chip row
+    touching a ~30-sublane window because entries within a row are
+    column-sorted and each chip row holds ONE row's entries).
+    """
+
+    def kernel(base_ref, hot_ref, p_ref, l_ref, o_ref):
+        i = pl.program_id(0)
+        outs = []
+        for c in range(8):
+            wb = hot_ref[pl.ds(base_ref[i * 8 + c] * 8, R_h), :]
+            outs.append(_mask_gather(wb, p_ref[c, :], l_ref[c, :]))
+        o_ref[...] = jnp.stack(outs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_out_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),     # hot resident
+            pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, BC), lambda i, base: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out_groups * 8, BC), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=n_out_groups * 8 * R_h * BC,
+            bytes_accessed=(H_pad + n_out_groups * (3 * 8 + R_h))
+            * BC * 4,
+            transcendentals=0),
+        interpret=interpret)
+
+
 class ExtPlan:
     """Host-side plan: stage tables + per-entry ext lane assignment."""
 

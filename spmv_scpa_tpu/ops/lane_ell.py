@@ -278,12 +278,20 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                     and e8 * (-(-pu // BC)) * BC * 3
                     <= chips_tail.VPU_BUDGET):
                 TAIL_BPN = 80
+            else:
+                # split-plan proxy: far side (beyond the local split
+                # distance) must dedup under the resident cap; the
+                # local side is windowed and effectively unbounded
+                pf = probe & (np.abs(cols - rows) > chips_tail.W_LOC)
+                fu = np.unique(cols[pf]).size if pf.any() else 0
+                if -(-fu // BC) <= chips_tail.H_CAP:
+                    TAIL_BPN = 120
         # The chips tail ends in one y.at[heavy_rows].add — a scalar
         # scatter at ~30 ns/row == ~22 kB/row bandwidth-equivalent;
         # rows longer than Q each become one heavy row. (With the
         # scalar fallbacks, per-ROW cost is already folded into
         # TAIL_BPN=2000 per entry.)
-        SCAT_B = 22000 if TAIL_BPN == 80 else 0
+        SCAT_B = 22000 if TAIL_BPN < 2000 else 0
         rl_elig = np.bincount(rows[eligible], minlength=m) if nnz \
             else np.zeros(1)
         best_cost, Q = None, _Q_CHOICES[-1]
@@ -595,10 +603,23 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             c_raw, c_args, tail_hbm = chips_tail.prepare_chips(
                 plan_c, n, dtype, interpret)
             tail_kind_used = "chips"
-            chips_meta = {"heavy_rows": plan_c.NH, "hot_h": plan_c.H,
-                          "gather_groups": plan_c.n_groups,
-                          "tile_rows": plan_c.E8,
-                          "windows": plan_c.num_windows}
+            if isinstance(plan_c, chips_tail.SplitChipsPlan):
+                chips_meta = {
+                    "heavy_rows": plan_c.NH, "split": True,
+                    "windows": plan_c.num_windows,
+                    "loc_entries": (plan_c.loc.n_entries
+                                    if plan_c.loc else 0),
+                    "far_entries": (plan_c.far.n_entries
+                                    if plan_c.far else 0),
+                    "hot_h": (plan_c.loc.H if plan_c.loc else 0,
+                              plan_c.far.H if plan_c.far else 0)}
+            else:
+                chips_meta = {
+                    "heavy_rows": plan_c.NH, "hot_h": plan_c.H,
+                    "split": False,
+                    "gather_groups": plan_c.n_groups,
+                    "tile_rows": plan_c.E8,
+                    "windows": plan_c.num_windows}
 
             def raw(x, *a):
                 y = ell_raw(x, *a[:n_ell])

@@ -195,3 +195,45 @@ def test_chips_single_row_and_column_edge():
     x = make_x(A.n)
     got = np.asarray(prep.fn(x), dtype=np.float64)
     validate_result(spmv_oracle(A, x), got, what="pallas-chips megarow")
+
+
+def test_chips_split_mode_validates():
+    """Split plan (local windowed + far resident gathers): forced via
+    plan_chips_split directly, validated against the oracle."""
+    import jax.numpy as jnp
+    from spmv_scpa_tpu.ops import chips_tail
+    A = synth.webbase_csr(m=30000)
+    rows = A.row_ids().astype(np.int64)
+    cols = A.ja.astype(np.int64)
+    plan = chips_tail.plan_chips_split(
+        rows, cols, A.as_.astype(np.float32), A.m, A.n)
+    assert plan is not None
+    assert plan.loc is not None and plan.loc.kind == "windowed"
+    c_raw, c_args, _ = chips_tail.prepare_chips(
+        plan, A.n, jnp.float32, True)
+    x = make_x(A.n)
+    ys, hid = c_raw(jnp.asarray(x, jnp.float32), *c_args)
+    y = np.zeros(A.m)
+    y[np.asarray(hid)] = np.asarray(ys)
+    validate_result(spmv_oracle(A, x), y, what="chips-split webbase30k")
+
+
+def test_chips_split_migration_consistency():
+    """Entries whose window overflows migrate to the far stream; the
+    result must still be exact (tiny r_hot forces heavy migration)."""
+    import jax.numpy as jnp
+    from spmv_scpa_tpu.ops import chips_tail
+    A = synth.webbase_csr(m=20000)
+    rows = A.row_ids().astype(np.int64)
+    cols = A.ja.astype(np.int64)
+    plan = chips_tail.plan_chips_split(
+        rows, cols, A.as_.astype(np.float32), A.m, A.n, r_hot=16)
+    assert plan is not None and plan.far is not None
+    assert plan.far.n_entries > int(np.sum(np.abs(cols - rows) > 4096))
+    c_raw, c_args, _ = chips_tail.prepare_chips(
+        plan, A.n, jnp.float32, True)
+    x = make_x(A.n)
+    ys, hid = c_raw(jnp.asarray(x, jnp.float32), *c_args)
+    y = np.zeros(A.m)
+    y[np.asarray(hid)] = np.asarray(ys)
+    validate_result(spmv_oracle(A, x), y, what="chips-split r_hot=16")
