@@ -256,6 +256,24 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         sl = np.zeros(0, np.int64)
 
     G_est = max(1, -(-m // BC))
+    # Chips-tail feasibility probe at the smallest realistic Q (spill
+    # sets shrink with Q, so this bounds every candidate): single
+    # resident pipeline, else the local/far split proxy.
+    from spmv_scpa_tpu.ops import chips_tail as _ct
+    cheap_tail = False
+    if nnz:
+        probe0 = ~(eligible & (sl < 8))
+        if int(np.sum(probe0)):
+            pu0 = np.unique(cols[probe0]).size
+            e80 = -(-int(np.sum(probe0)) // (8 * BC)) * 8
+            if (-(-pu0 // BC) <= _ct.H_CAP
+                    and e80 * (-(-pu0 // BC)) * BC * 3
+                    <= _ct.VPU_BUDGET):
+                cheap_tail = True
+            else:
+                pf0 = probe0 & (np.abs(cols - rows) > _ct.W_LOC)
+                fu0 = np.unique(cols[pf0]).size if pf0.any() else 0
+                cheap_tail = -(-fu0 // BC) <= _ct.H_CAP
     if slots == "auto":
         # Minimize estimated HBM traffic: each slot plane streams
         # G*BC*(4+2) bytes regardless of fill, while every spilled or
@@ -268,24 +286,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         # Chips eligibility is monotone in Q (a larger Q's spill set
         # is a subset), so probing it at the smallest realistic Q
         # bounds every candidate.
-        from spmv_scpa_tpu.ops import chips_tail
-        probe = ~(eligible & (sl < 8))
-        TAIL_BPN = 2000
-        if int(np.sum(probe)):
-            pu = np.unique(cols[probe]).size
-            e8 = -(-int(np.sum(probe)) // (8 * BC)) * 8
-            if (-(-pu // BC) <= chips_tail.H_CAP
-                    and e8 * (-(-pu // BC)) * BC * 3
-                    <= chips_tail.VPU_BUDGET):
-                TAIL_BPN = 80
-            else:
-                # split-plan proxy: far side (beyond the local split
-                # distance) must dedup under the resident cap; the
-                # local side is windowed and effectively unbounded
-                pf = probe & (np.abs(cols - rows) > chips_tail.W_LOC)
-                fu = np.unique(cols[pf]).size if pf.any() else 0
-                if -(-fu // BC) <= chips_tail.H_CAP:
-                    TAIL_BPN = 120
+        TAIL_BPN = 100 if cheap_tail else 2000
         # The chips tail ends in one y.at[heavy_rows].add — a scalar
         # scatter at ~30 ns/row == ~22 kB/row bandwidth-equivalent;
         # rows longer than Q each become one heavy row. (With the
@@ -401,6 +402,14 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 extra_keys = np.sort(np.concatenate([extra_keys, key]))
                 unpl = np.delete(unpl, oki)
         n_reloc = n_demoted - int(unpl.size)
+
+    # Leftovers whose row is ALREADY heavy (rank-spilled past Q) ride
+    # the chips tail for free — the row is in the tail's scatter set
+    # regardless — instead of burning overflow-plane bytes.
+    if unpl.size and cheap_tail:
+        rl_all = np.bincount(rows[eligible], minlength=m)
+        already_heavy = rl_all[rows[unpl]] > Q
+        unpl = unpl[~already_heavy]
 
     # Overflow planes for unrelocatable leftovers, in two tiers:
     # (a) strip-wise DEDICATED planes — single-strip (no select
