@@ -45,6 +45,11 @@ from spmv_scpa_tpu.formats.panel_ell import BC
 R_PANELS = 512
 # stage-2 resident hot region cap (sublanes): 1024*128*4 = 512 KB.
 H_MAX = 1024
+# windowed stage-2: adopt when the p97 per-group window is at most
+# half the hot region (below H_WIN_MIN the resident reduce is already
+# cheap); hot cap for the windowed kernel (full hot lives in VMEM).
+H_WIN_MIN = 64
+H_WIN_CAP = 16384            # 8 MB f32
 
 
 def _mask_gather(src, p_row, l_row):
@@ -192,7 +197,8 @@ class ExtPlan:
 
     __slots__ = ("n_groups", "H", "R", "n1p_blocks", "base", "p1",
                  "l1", "pair_grp", "pair_lane", "pair_key", "pair_pos",
-                 "ext_lane", "covered", "n_out")
+                 "ext_lane", "covered", "n_out",
+                 "windowed", "r_hot", "base8", "H_pad")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -249,7 +255,7 @@ def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
             cursor += 8
     n_groups = len(base_l)
     H = cursor
-    if H > H_MAX:
+    if H > H_WIN_CAP:
         return None
     n_panels = -(-n // BC)
     n1p_blocks = max(-(-n_panels // r_cap), int(max(base_l)) + 1)
@@ -267,6 +273,45 @@ def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
     pair_pos = np.full(pk.size, 0, np.int64)
     pair_pos[kept_i] = pos[np.searchsorted(uniq, pc[kept_i])]
 
+    # ---- windowed stage-2 planning ----------------------------------
+    # Hot positions follow the global sorted column order, so a row
+    # group whose out-columns are themselves localized (webbase-class:
+    # just past the loc_w window) touches a small contiguous band of
+    # the hot region. A per-group window base turns the O(H) resident
+    # mask-reduce into O(r_hot) (make_resident_window_gather) — and
+    # lifts the resident cap H_MAX to H_WIN_CAP for such matrices.
+    # Pairs past the p97-weighted reach are dropped back to the tail.
+    windowed = False
+    r_hot = 0
+    base8 = np.zeros(0, np.int32)
+    H_pad = H
+    if H > H_WIN_MIN and kept_i.any():
+        kidx = np.flatnonzero(kept_i)
+        kg = pg[kidx]
+        kpos = pair_pos[kidx] // BC
+        n_grp = int(kg.max()) + 1
+        gmin = np.full(n_grp, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(gmin, kg, kpos)
+        b8 = np.where(gmin == np.iinfo(np.int64).max, 0, gmin // 8)
+        off = kpos - b8[kg] * 8
+        w = cnt[kidx].astype(np.float64)   # entry-weighted reach
+        o_ord = np.argsort(off, kind="stable")
+        cw = np.cumsum(w[o_ord])
+        tgt = int(off[o_ord[min(int(np.searchsorted(cw, 0.97 * cw[-1])),
+                                off.size - 1)]]) + 1
+        rh = 32
+        while rh < tgt and rh < 512:
+            rh *= 2
+        if 2 * rh <= H:
+            lane_of_pair[kidx[off >= rh]] = -1
+            kept_i = lane_of_pair >= 0
+            windowed = True
+            r_hot = rh
+            base8 = b8.astype(np.int32)
+            H_pad = int(b8.max(initial=0)) * 8 + rh
+    if not windowed and H > H_MAX:
+        return None               # resident reduce past the VMEM cap
+
     # per-entry ext lane (-1 = dropped by the per-group cap)
     ent_pair = np.searchsorted(pk, key)
     ext_lane = np.full(rows.size, -1, np.int64)
@@ -278,13 +323,30 @@ def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
                    base=np.asarray(base_l, np.int32), p1=p1, l1=l1,
                    pair_grp=pg[kept_i], pair_lane=lane_of_pair[kept_i],
                    pair_key=pk, pair_pos=pair_pos[kept_i],
-                   ext_lane=ext_lane, covered=covered, n_out=oi.size)
+                   ext_lane=ext_lane, covered=covered, n_out=oi.size,
+                   windowed=windowed, r_hot=r_hot, base8=base8,
+                   H_pad=H_pad)
 
 
 def build_group_tables(plan: ExtPlan, G_pad: int):
-    """Stage-2 p2/l2 (G_pad, BC) from the plan's kept pairs."""
+    """Stage-2 p2/l2 (G_pad, BC) from the plan's kept pairs.
+
+    In windowed mode p2 is WINDOW-RELATIVE (psub - base8*8, always in
+    [0, r_hot) for set lanes); unset lanes may go negative, which is
+    harmless — a negative sublane never matches the one-hot iota, and
+    unset panel lanes are never read by the core anyway.
+    """
     p2 = np.zeros((G_pad, BC), np.int32)
     l2 = np.zeros((G_pad, BC), np.int32)
     p2[plan.pair_grp, plan.pair_lane] = plan.pair_pos // BC
     l2[plan.pair_grp, plan.pair_lane] = plan.pair_pos % BC
+    if plan.windowed:
+        p2 -= build_base8(plan, G_pad)[:, None].astype(np.int32) * 8
     return p2, l2
+
+
+def build_base8(plan: ExtPlan, G_pad: int):
+    """Per-group window bases padded to (G_pad,) (8-sublane units)."""
+    b = np.zeros(G_pad, np.int32)
+    b[:plan.base8.size] = plan.base8
+    return b

@@ -219,7 +219,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         plan = ext_gather.plan_ext(rows, cols, ~is_local, m, n)
         if plan is not None and ext == "auto":
             G_est0 = max(1, -(-m // BC))
-            vpu_ops = G_est0 * plan.H * BC * 3     # stage-2 dominates
+            h_eff = plan.r_hot if plan.windowed else plan.H
+            vpu_ops = G_est0 * h_eff * BC * 3      # stage-2 dominates
             if (plan.covered < 0.5 or plan.n_out < 2048
                     or plan.n_out < 0.005 * nnz or vpu_ops > 2e9):
                 plan = None
@@ -541,6 +542,11 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     )
 
     if use_ext:
+        # windowed stage-2 needs 8-row output steps; fall back to the
+        # resident reduce when G_pad isn't 8-aligned (rare chunks)
+        ext_windowed = plan.windowed and G_pad % 8 == 0
+        if plan.windowed and not ext_windowed:
+            plan.windowed = False     # tables revert to absolute p2
         p2_a, l2_a = ext_gather.build_group_tables(plan, G_pad)
         base_d = jax.device_put(jnp.asarray(plan.base))
         p1_d = jax.device_put(jnp.asarray(plan.p1))
@@ -549,22 +555,47 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         l2_d = jax.device_put(jnp.asarray(l2_a))
         s1_call = ext_gather.make_sorted_gather(
             plan.n_groups, plan.n1p_blocks, plan.R, dtype, interpret)
-        s2_call = ext_gather.make_ranked_gather(
-            plan.H, G_pad, dtype, interpret)
+        if ext_windowed:
+            s2_call = ext_gather.make_resident_window_gather(
+                G_pad // 8, plan.r_hot, plan.H_pad, dtype, interpret)
+            b8_d = jax.device_put(jnp.asarray(
+                ext_gather.build_base8(plan, G_pad)))
+        else:
+            s2_call = ext_gather.make_ranked_gather(
+                plan.H, G_pad, dtype, interpret)
         n1 = plan.n1p_blocks * plan.R * BC
+        pad_h = plan.H_pad - plan.H
 
-        def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2):
-            xf = x.astype(dtype)
-            xp = jnp.zeros((P_pad * BC,), dtype)
-            xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
-            x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
-            hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
-            extp = s2_call(hot, p2, l2)
-            y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
-            return y.reshape(-1)[:m]
+        if ext_windowed:
+            def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2, b8):
+                xf = x.astype(dtype)
+                xp = jnp.zeros((P_pad * BC,), dtype)
+                xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
+                x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
+                hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
+                if pad_h > 0:
+                    hot = jnp.pad(hot, ((0, pad_h), (0, 0)))
+                elif pad_h < 0:
+                    hot = hot[:plan.H_pad]
+                extp = s2_call(b8, hot, p2, l2)
+                y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
+                return y.reshape(-1)[:m]
 
-        ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
-                    p2_d, l2_d)
+            ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
+                        p2_d, l2_d, b8_d)
+        else:
+            def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2):
+                xf = x.astype(dtype)
+                xp = jnp.zeros((P_pad * BC,), dtype)
+                xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
+                x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
+                hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
+                extp = s2_call(hot, p2, l2)
+                y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
+                return y.reshape(-1)[:m]
+
+            ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
+                        p2_d, l2_d)
     else:
         def ell_raw(x, vals, idx, hot_i):
             xf = x.astype(dtype)
@@ -700,6 +731,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
               "hot_k": hot_k,
               "ext": use_ext,
               "ext_h": plan.H if use_ext else 0,
+              "ext_windowed": bool(use_ext and plan.windowed),
+              "ext_r_hot": plan.r_hot if use_ext else 0,
               "ext_groups": plan.n_groups if use_ext else 0,
               "ext_cov": round(plan.covered, 4) if use_ext else None,
               "strips": S, "hot_strips": Hs, "chunk": chunk,

@@ -96,3 +96,51 @@ def test_plan_ext_empty_and_none():
     assert ext_gather.plan_ext(np.zeros(0, np.int64),
                                np.zeros(0, np.int64),
                                np.zeros(0, bool), 10, 10) is None
+
+
+def test_plan_ext_windowed():
+    """Localized out-columns (one per row at diagonal+8000) make every
+    group's hot positions a narrow band: the planner adopts the
+    windowed stage-2 (per-group base, O(r_hot) reduce) and the
+    window-relative tables still reproduce x at each kept slot."""
+    rng = np.random.default_rng(3)
+    m = n = 40000
+    rows = np.arange(m, dtype=np.int64)
+    cols = (rows + 8000 + rng.integers(0, 64, m)) % n
+    order = np.argsort(rows, kind="stable")
+    rows, cols = rows[order], cols[order]
+    plan = ext_gather.plan_ext(rows, cols, np.ones(m, bool), m, n)
+    assert plan is not None
+    assert plan.H > ext_gather.H_WIN_MIN
+    assert plan.windowed and plan.r_hot >= 8
+    assert 2 * plan.r_hot <= plan.H
+    # window-relative p2 of kept pairs stays in range
+    assert plan.base8.size > 0
+
+    x = rng.standard_normal(n).astype(np.float32)
+    n1 = plan.n1p_blocks * plan.R * BC
+    x1 = np.zeros(n1, np.float32)
+    x1[:n] = x
+    s1 = ext_gather.make_sorted_gather(plan.n_groups, plan.n1p_blocks,
+                                       plan.R, jnp.float32, True)
+    hot = np.asarray(s1(jnp.asarray(plan.base),
+                        jnp.asarray(x1.reshape(-1, BC)),
+                        jnp.asarray(plan.p1), jnp.asarray(plan.l1)))
+    G_pad = (-(-(int(rows.max() // BC) + 1) // 8)) * 8
+    p2, l2 = ext_gather.build_group_tables(plan, G_pad)
+    b8 = ext_gather.build_base8(plan, G_pad)
+    # set lanes are window-relative and in range
+    ki = np.flatnonzero(plan.ext_lane >= 0)
+    grp = rows[ki] // BC
+    assert (p2[grp, plan.ext_lane[ki]] >= 0).all()
+    assert (p2[grp, plan.ext_lane[ki]] < plan.r_hot).all()
+    hp = np.pad(hot, ((0, max(0, plan.H_pad - hot.shape[0])),
+                      (0, 0)))[:plan.H_pad]
+    s2 = ext_gather.make_resident_window_gather(
+        G_pad // 8, plan.r_hot, plan.H_pad, jnp.float32, True)
+    ext = np.asarray(s2(jnp.asarray(b8), jnp.asarray(hp),
+                        jnp.asarray(p2), jnp.asarray(l2)))
+    np.testing.assert_allclose(ext[grp, plan.ext_lane[ki]], x[cols[ki]],
+                               rtol=0)
+    # most entries survive the p97 window drop
+    assert plan.covered > 0.9

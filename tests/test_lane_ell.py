@@ -237,3 +237,24 @@ def test_chips_split_migration_consistency():
     y = np.zeros(A.m)
     y[np.asarray(hid)] = np.asarray(ys)
     validate_result(spmv_oracle(A, x), y, what="chips-split r_hot=16")
+
+
+def test_ext_windowed_stage2_e2e():
+    """Out-of-window entries at diagonal+8000 over a big-enough matrix
+    push the hot region past H_WIN_MIN; the planner adopts the
+    windowed stage-2 and the full hybrid still matches the oracle."""
+    rng = np.random.default_rng(9)
+    m = n = 40000
+    r_loc = np.repeat(np.arange(m, dtype=np.int64), 4)
+    c_loc = (r_loc + rng.integers(-30, 30, r_loc.size)) % n
+    r_out = np.arange(m, dtype=np.int64)
+    c_out = (r_out + 8000 + rng.integers(0, 64, m)) % n
+    rows = np.concatenate([r_loc, r_out])
+    cols = np.concatenate([c_loc, c_out])
+    vals = rng.standard_normal(rows.size)
+    A = CSR.from_coo("ext_windowed", m, n, rows, cols, vals)
+    p = _run(A)
+    assert p.meta["ext"]
+    assert p.meta["ext_windowed"]
+    assert p.meta["ext_r_hot"] >= 8
+    assert p.meta["tail_nnz"] <= 0.08 * A.nnz
