@@ -231,35 +231,44 @@ def _run_spmm(A, cfg, logger, results):
 
 
 def _run_distributed(A, x, golden, cfg, logger, results):
-    """Row-sharded distributed SpMV row (strategy id 9): on the real
+    """Row-sharded distributed SpMV rows (strategy id 9): on the real
     TPU this is a 1-device mesh (one chip available here); on CPU hosts
-    it uses the virtual devices. Validates + logs like any kernel."""
+    it uses the virtual devices. Two local kernels — the flagship
+    lane-ELL hybrid and the fused PELL — validated + logged like any
+    kernel (one row per local-kernel format)."""
     import jax
 
     from spmv_scpa_tpu.parallel.distributed import (
-        make_mesh, prepare_row_sharded_pell)
+        make_mesh, prepare_row_sharded_hybrid, prepare_row_sharded_pell)
     from spmv_scpa_tpu.utils.platform import is_tpu
 
     devices = (jax.devices() if is_tpu()
                else jax.devices("cpu"))
     mesh = make_mesh(devices=devices)
-    try:
-        dist = prepare_row_sharded_pell(A, mesh=mesh)
-        r = time_prepared_raw(dist.raw, dist.args, x, nnz=A.nnz)
-        rel = _check(cfg, golden, r.data, "distributed-rowshard")
-    except Exception as e:
-        log.warning("distributed-rowshard skipped: %s", e)
-        cfg.skipped.append(("distributed-rowshard", len(devices),
-                            f"{type(e).__name__}: {e}"))
-        return
-    logger.log_device(matrix=A.name, fmt="PELL",
-                      kernel="distributed-rowshard", chunk=len(devices),
-                      rows=A.m, cols=A.n, nnz=A.nnz, num_blocks=None,
-                      duration_ms=r.duration_ms, gflops=r.gflops)
-    results.append(RowResult("distributed-rowshard", "PELL",
-                             len(devices), r, rel))
-    log.info("distributed-rowshard devices=%d %10.4f ms %8.2f GFLOPS",
-             len(devices), r.duration_ms, r.gflops)
+    for fmt, prep_fn in (("HYBRID", prepare_row_sharded_hybrid),
+                         ("PELL", prepare_row_sharded_pell)):
+        try:
+            dist = prep_fn(A, mesh=mesh)
+            r = time_prepared_raw(dist.raw, dist.args, x, nnz=A.nnz)
+            rel = _check(cfg, golden, r.data,
+                         f"distributed-rowshard[{fmt}]")
+        except Exception as e:
+            log.warning("distributed-rowshard[%s] skipped: %s", fmt, e)
+            cfg.skipped.append((f"distributed-rowshard[{fmt}]",
+                                len(devices),
+                                f"{type(e).__name__}: {e}"))
+            continue
+        logger.log_device(matrix=A.name, fmt=fmt,
+                          kernel="distributed-rowshard",
+                          chunk=len(devices),
+                          rows=A.m, cols=A.n, nnz=A.nnz,
+                          num_blocks=None,
+                          duration_ms=r.duration_ms, gflops=r.gflops)
+        results.append(RowResult("distributed-rowshard", fmt,
+                                 len(devices), r, rel))
+        log.info("distributed-rowshard[%s] devices=%d %10.4f ms "
+                 "%8.2f GFLOPS", fmt, len(devices), r.duration_ms,
+                 r.gflops)
 
 
 def time_prepared_raw(raw, args, x, *, nnz):

@@ -87,6 +87,21 @@ def _auto_interpret() -> bool:
     return not is_tpu()
 
 
+class _CoreBuild:
+    """Host-side packing result (``core_only=True``): everything the
+    distributed builder needs to pad/stack shards into one SPMD
+    program (parallel/distributed.py:prepare_row_sharded_hybrid)."""
+
+    __slots__ = ("vals_a", "idx_a", "used", "Q", "Qo", "QT", "S",
+                 "chunk", "steps", "G_pad", "P_pad", "loc_w",
+                 "n_local", "m", "trows", "tcols", "tvals",
+                 "n_demoted", "n_reloc")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
 def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
                      used: tuple, diag: str = "", ext_w: int = -1):
     """One grid step = ``chunk`` row-groups of 128 rows.
@@ -182,8 +197,19 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             ded_max: int = 4, max_strips: int = 4,
                             tail_xla_max: int = 32768,
                             depth: int = 0, max_depth: int = 2,
-                            diag: str = "", Prepared=None, **_):
-    """Build the hybrid: lane-ELL core + hot region + CSR tail."""
+                            diag: str = "", Prepared=None,
+                            x_off: int = 0, core_only: bool = False,
+                            **_):
+    """Build the hybrid: lane-ELL core + hot region + CSR tail.
+
+    ``x_off`` shifts the diagonal window by a global column offset —
+    row ``i`` of a ROW SHARD is global row ``x_off + i``, so its local
+    window sits around column ``x_off + i`` (parallel/distributed.py
+    slices a shared padded x per shard). ``core_only`` stops after the
+    host-side packing and returns a ``_CoreBuild`` (NumPy arrays +
+    static config) instead of a Prepared — the distributed builder
+    pads/stacks those across shards into one SPMD program.
+    """
     from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
     from spmv_scpa_tpu.ops.registry import bind, get_strategy
     if Prepared is None:
@@ -196,15 +222,16 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     cols = A.ja.astype(np.int64)
     nnz = A.nnz
 
+    cols_w = cols - x_off        # window-relative column frame
     if loc_w == "auto":
-        loc_w = _auto_loc_w(rows, cols) if nnz else 128
+        loc_w = _auto_loc_w(rows, cols_w) if nnz else 128
     if loc_w % BC:
         raise ValueError("loc_w must be a multiple of 128")
     PL = loc_w // BC
     S = 1 + 2 * PL               # local strips per group window
 
     grp = rows // BC
-    off = cols - grp * BC + loc_w          # window-relative position
+    off = cols_w - grp * BC + loc_w        # window-relative position
     is_local = (off >= 0) & (off < S * BC)
 
     out_cols = cols[~is_local]
@@ -272,7 +299,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                     <= _ct.VPU_BUDGET):
                 cheap_tail = True
             else:
-                pf0 = probe0 & (np.abs(cols - rows) > _ct.W_LOC)
+                pf0 = probe0 & (np.abs(cols_w - rows) > _ct.W_LOC)
                 fu0 = np.unique(cols[pf0]).size if pf0.any() else 0
                 cheap_tail = -(-fu0 // BC) <= _ct.H_CAP
     if slots == "auto":
@@ -493,7 +520,20 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         raise ValueError(
             f"pallas-hybrid: resident x ({x_bytes} B) exceeds VMEM "
             f"budget {X_VMEM_BUDGET} B; use pallas-pell (striped)")
-    n_local = min(n, P_pad * BC - loc_w)
+    n_local = min(n - x_off, P_pad * BC - loc_w)
+
+    if core_only:
+        # shard-packing mode: ext/hot stay off (their x gathers are
+        # global and per-shard table shapes would break SPMD)
+        assert not use_ext and Hs == 0, \
+            "core_only requires ext=False and hot_k=0"
+        tm = ~take if nnz else np.zeros(0, bool)
+        return _CoreBuild(
+            vals_a=vals_a, idx_a=idx_a, used=used_t, Q=Q, Qo=Qo,
+            QT=QT, S=S, chunk=chunk, steps=steps, G_pad=G_pad,
+            P_pad=P_pad, loc_w=loc_w, n_local=n_local, m=m,
+            trows=rows[tm], tcols=cols[tm], tvals=A.as_[tm],
+            n_demoted=n_demoted, n_reloc=n_reloc)
 
     vals_d = jax.device_put(jnp.asarray(vals_a, dtype))
     idx_d = jax.device_put(jnp.asarray(idx_a))

@@ -151,6 +151,198 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
     return out
 
 
+def prepare_row_sharded_hybrid(A: CSR, mesh=None,
+                               n_shards: int | None = None,
+                               loc_w: int | str = "auto",
+                               slots: int | str = "auto",
+                               chunk: int = 24, dtype=None,
+                               strip_cov: float | None = 0.985,
+                               interpret: bool | None = None):
+    """Distributed SpMV with the lane-ELL hybrid as the local kernel —
+    the round-3 flagship (151.5 GF/s = 0.90 roofline single-chip,
+    docs/PERF_LOG.md) instead of the fused PELL.
+
+    Sharding recipe (same as ``prepare_row_sharded_pell``): nnz-balanced
+    contiguous row spans padded to a uniform height; x replicated; y
+    row-sharded. The hybrid's rows-as-lanes window is DIAGONAL, so each
+    shard's window frame shifts by its first global row: shard d's
+    local row i reads x around global column ``bounds[d] + i``
+    (``x_off`` in ops/lane_ell.py). One shared padded x
+    (``[zeros(loc_w) | x | zeros]``) serves every shard through a
+    per-shard ``dynamic_slice`` — the TPU analog of each GPU block
+    reading its own x window through the texture cache
+    (/root/reference/src/cuda_csr.cu:145-178).
+
+    SPMD unification: each shard packs independently (its own slot
+    count, demotion and overflow decisions — all DATA), then plane
+    counts pad to the max and per-plane strip sets UNION across shards
+    so a single kernel serves all shards; a shard never reads a strip
+    it didn't pack (those lanes multiply by 0). Out-of-window/spilled
+    entries ride a per-shard padded XLA segment-sum tail (ext/chips
+    stay single-chip: their gather tables are global-x-indexed and
+    per-shard shapes would break the one-program requirement).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spmv_scpa_tpu.formats.panel_ell import BC
+    from spmv_scpa_tpu.ops import lane_ell as LE
+
+    if dtype is None:
+        dtype = jnp.float32
+    if mesh is None:
+        mesh = make_mesh(n_shards)
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    if interpret is None:
+        interpret = LE._auto_interpret()
+
+    # shared window width from the GLOBAL diagonal frame (per-shard
+    # "auto" would disagree; the frames coincide because x_off shifts
+    # both rows and the window together)
+    if loc_w == "auto":
+        loc_w = (LE._auto_loc_w(A.row_ids().astype(np.int64),
+                                A.ja.astype(np.int64))
+                 if A.nnz else 128)
+
+    bounds, h_rows = plan_row_shards(A, n_dev)
+    h_rows = max(h_rows, BC)
+    cores = []
+    for d in range(n_dev):
+        Sh = A.slice_rows(int(bounds[d]), int(bounds[d + 1]))
+        Sh.m = h_rows          # uniform height (trailing rows empty)
+        Sh.irp = np.concatenate(
+            [Sh.irp, np.full(h_rows + 1 - Sh.irp.shape[0], Sh.irp[-1],
+                             Sh.irp.dtype)])
+        cores.append(LE.prepare_lane_ell_hybrid(
+            Sh, dtype=dtype, chunk=chunk, loc_w=loc_w, slots=slots,
+            hot_k=0, ext=False, strip_cov=strip_cov,
+            x_off=int(bounds[d]), core_only=True))
+
+    c0 = cores[0]
+    steps, S, G_pad, P_pad = c0.steps, c0.S, c0.G_pad, c0.P_pad
+    assert all(c.steps == steps and c.S == S for c in cores)
+    QT = max(c.QT for c in cores)
+    chunk = c0.chunk
+
+    # pad planes to the shared QT; union strip sets per plane
+    used_u: list[set] = [set() for _ in range(QT)]
+    vals_l, idx_l = [], []
+    for c in cores:
+        v = c.vals_a.reshape(steps, c.QT, chunk, BC)
+        ix = c.idx_a.reshape(steps, c.QT, chunk, BC)
+        if c.QT < QT:
+            padq = ((0, 0), (0, QT - c.QT), (0, 0), (0, 0))
+            v = np.pad(v, padq)
+            ix = np.pad(ix, padq)
+        vals_l.append(v.reshape(-1, BC))
+        idx_l.append(ix.reshape(-1, BC))
+        for q, ws in enumerate(c.used):
+            used_u[q].update(ws)
+    used_t = tuple(tuple(sorted(u)) for u in used_u)
+
+    # per-shard padded XLA tail (global columns; x replicated)
+    t_max = max(1, max(c.trows.size for c in cores))
+    seg_a = np.full((n_dev, t_max), h_rows, np.int32)   # dump segment
+    tc_a = np.zeros((n_dev, t_max), np.int32)
+    tv_a = np.zeros((n_dev, t_max), np.float32)
+    for d, c in enumerate(cores):
+        k = int(c.trows.size)
+        seg_a[d, :k] = c.trows
+        tc_a[d, :k] = c.tcols
+        tv_a[d, :k] = c.tvals
+
+    kernel = LE._lane_ell_kernel(chunk, QT, S, P_pad, used_t)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
+    )
+    x_bytes = P_pad * BC * jnp.dtype(dtype).itemsize
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                2 * x_bytes + 2 * G_pad * BC * 4
+                + 4 * QT * chunk * BC * 6
+                + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
+                + (8 << 20), 110 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * QT * chunk * BC,
+            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    shard = NamedSharding(mesh, P(axis))
+    r0_a = bounds[:-1].astype(np.int32).reshape(n_dev, 1)
+    stack = [jax.device_put(jnp.asarray(a, t), shard)
+             for a, t in ((np.stack(vals_l), dtype),
+                          (np.stack(idx_l), jnp.int16),
+                          (seg_a, jnp.int32), (tc_a, jnp.int32),
+                          (tv_a, dtype), (r0_a, jnp.int32))]
+    xw = P_pad * BC
+
+    def local(xpad, vals, idx, seg, tc, tv, r0):
+        xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+        y = call(xs.reshape(P_pad, BC), vals[0],
+                 idx[0]).reshape(-1)[:h_rows]
+        yt = jax.ops.segment_sum(
+            tv[0] * jnp.take(xpad, tc[0] + loc_w), seg[0],
+            num_segments=h_rows + 1, indices_are_sorted=True)
+        return (y + yt[:h_rows])[None, :]
+
+    mapped = shard_map(local, mesh=mesh,
+                       in_specs=(P(),) + tuple(P(axis) for _ in stack),
+                       out_specs=P(axis), check_vma=False)
+
+    m = A.m
+    bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
+                jnp.asarray(bounds[1:], jnp.int32))
+
+    def raw_full(x, *args_stacked):
+        xf = x.astype(dtype)
+        xpad = jnp.concatenate(
+            [jnp.zeros(loc_w, dtype), xf, jnp.zeros(xw, dtype)])
+        y_pad = mapped(xpad, *args_stacked)          # (n_dev, h_rows)
+        flat = y_pad.reshape(-1)
+        idx = jnp.arange(m, dtype=jnp.int32)
+        sh = jnp.searchsorted(bounds_j[1], idx, side="right")
+        local_i = idx - jnp.take(bounds_j[0], sh)
+        return jnp.take(flat, sh * h_rows + local_i)
+
+    jitted = jax.jit(raw_full)
+
+    def fn(x):
+        return jitted(x, *stack)
+
+    out = RowShardedSpmv(mesh=mesh, fn=fn, m=m, n=A.n, nnz=A.nnz,
+                         bounds=bounds,
+                         shard_nnz=np.diff(A.irp[bounds].astype(np.int64)))
+    out.raw = raw_full
+    out.args = tuple(stack)
+    out.meta = {"slots": QT, "loc_w": loc_w, "chunk": chunk,
+                "tail_nnz": int(sum(c.trows.size for c in cores)),
+                "strips": S,
+                "demoted": int(sum(c.n_demoted for c in cores)),
+                "relocated": int(sum(c.n_reloc for c in cores))}
+    return out
+
+
 def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
                              quantum: int | str = "auto",
                              window_h: int | str = "auto",

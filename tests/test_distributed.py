@@ -105,3 +105,44 @@ def test_row_sharded_pell_mesh1_packs_like_single_chip():
     validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
                     what="dist-pell-mesh1")
     assert auto["quantum"] == 16 and auto["window_h"] == 48
+
+
+def test_row_sharded_hybrid_matches_oracle():
+    """The flagship lane-ELL hybrid as the distributed local kernel:
+    per-shard diagonal window frames (x_off) over one shared padded x,
+    plane counts padded + strip sets unioned into one SPMD program."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.banded_csr(1200, row_nnz=11, bandwidth=90, seed=21)
+    for n_dev in (1, 3, 8):
+        dist = prepare_row_sharded_hybrid(
+            A, mesh=_cpu_mesh(n_dev), interpret=True)
+        x = make_x(A.n)
+        got = np.asarray(dist.fn(x), dtype=np.float64)
+        validate_result(spmv_oracle(A, x), got,
+                        what=f"dist-hybrid n={n_dev}")
+
+
+def test_row_sharded_hybrid_tail_and_imbalance():
+    """Scattered entries ride the per-shard padded XLA tail; skewed
+    rows exercise unequal per-shard plane counts (QT padding)."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.powerlaw_csr(900, 900, seed=22)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(4),
+                                      interpret=True)
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid powerlaw")
+    assert dist.meta["tail_nnz"] > 0
+
+
+def test_row_sharded_hybrid_empty_shards():
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.diag_csr(5)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(8),
+                                      interpret=True)
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid tiny")
