@@ -7,7 +7,7 @@ through the distributed row-sharded SpMV (parallel/distributed.py).
 
 Rows land in omp.csv (schema: bench/logger.py) with
 ``num_threads`` = device count and bench in
-{mesh_rowshard, mesh_rowshard_pell}; serial.csv gets the fp64 oracle
+{mesh_rowshard, mesh_rowshard_pell, mesh_rowshard_hybrid}; serial.csv gets the fp64 oracle
 row so plots.py can derive speedup-vs-parallelism per nnz bin
 (reference scripts/plots.py:186-248).
 
@@ -47,6 +47,9 @@ def main() -> int:
     ap.add_argument("--pell", action="store_true",
                     help="also sweep the Pallas-PELL local kernel "
                          "(interpret mode on CPU: relative scaling only)")
+    ap.add_argument("--hybrid", action="store_true",
+                    help="also sweep the lane-ELL hybrid local kernel "
+                         "(the round-3 flagship; interpret mode on CPU)")
     args = ap.parse_args()
     counts = (tuple(int(c) for c in args.devices.split(","))
               if args.devices else DEVICE_COUNTS)
@@ -62,7 +65,8 @@ def main() -> int:
     from spmv_scpa_tpu.ops.oracle import spmv_oracle
     from spmv_scpa_tpu.ops.registry import get_strategy
     from spmv_scpa_tpu.parallel.distributed import (
-        make_mesh, prepare_row_sharded, prepare_row_sharded_pell)
+        make_mesh, prepare_row_sharded, prepare_row_sharded_hybrid,
+        prepare_row_sharded_pell)
     from spmv_scpa_tpu.utils.validation import validate_result
     from spmv_scpa_tpu.utils.vector import make_x
 
@@ -85,6 +89,9 @@ def main() -> int:
                 variants.append(("mesh_rowshard_pell",
                                  prepare_row_sharded_pell,
                                  {"window_h": 64}))
+            if args.hybrid:
+                variants.append(("mesh_rowshard_hybrid",
+                                 prepare_row_sharded_hybrid, {}))
             for bench_name, prepare, kw in variants:
                 for nd in counts:
                     mesh = make_mesh(devices=cpus[:nd])

@@ -540,6 +540,46 @@ def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
     return raw_contrib, args, int(hbm)
 
 
+def make_panel_merge(heavy_ids: np.ndarray, m: int, G_pad: int,
+                     dtype, interpret: bool,
+                     budget: float = 6e8):
+    """Zero-scatter merge of per-heavy-row sums back into y.
+
+    The chips pipeline ends in ``y.at[heavy_ids].add(ys)`` — the last
+    scalar step (~30 ns/row: 8948 webbase heavy rows = 0.27 ms,
+    bandwidth-equivalent to ~22 kB/row). This replaces it with one
+    ranked gather (ext_gather.make_ranked_gather): the padded ys
+    vector becomes a resident (H8, 128) region and each 128-row output
+    group gathers its heavy rows' sums into panel lanes —
+    ``panel[r // 128, r % 128] = ys[pos(r)]`` — which add to the core's
+    y DENSELY. Unset lanes point at slot NH, a guaranteed-zero pad
+    entry, so no mask is needed. Returns None when NH exceeds the
+    resident budgets (caller keeps the scatter).
+    """
+    NH = int(heavy_ids.size)
+    H8 = NH // BC + 1            # strictly > NH/BC: slot NH is padding
+    G_out = -(-G_pad // 8) * 8
+    if H8 > H_CAP or G_out * H8 * BC * 3 > budget:
+        return None
+    p2 = np.full((G_out, BC), NH // BC, np.int32)
+    l2 = np.full((G_out, BC), NH % BC, np.int32)
+    grp = (heavy_ids // BC).astype(np.int64)
+    lane = (heavy_ids % BC).astype(np.int64)
+    k = np.arange(NH, dtype=np.int64)
+    p2[grp, lane] = (k // BC).astype(np.int32)
+    l2[grp, lane] = (k % BC).astype(np.int32)
+    s2 = ext_gather.make_ranked_gather(H8, G_out, dtype, interpret)
+    pad = H8 * BC - NH
+
+    def merge(ys, p2d, l2d):
+        ysp = jnp.pad(ys.astype(dtype), (0, pad)).reshape(H8, BC)
+        return s2(ysp, p2d, l2d).reshape(-1)[:m]   # dense y addend
+
+    args = (jax.device_put(jnp.asarray(p2)),
+            jax.device_put(jnp.asarray(l2)))
+    return merge, args
+
+
 def prepare_chips_strategy(A, dtype=jnp.float32,
                            interpret: bool | None = None,
                            Prepared=None, **_):
@@ -565,15 +605,28 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
     c_raw, c_args, hbm = prepare_chips(plan, A.n, dtype, interpret)
     m = A.m
 
-    def raw(x, *a):
-        ys, hid = c_raw(x, *a)
-        return jnp.zeros((m,), dtype).at[hid].set(
-            ys.astype(dtype), mode="promise_in_bounds",
-            unique_indices=True)
+    mg = make_panel_merge(plan.heavy_ids, m, -(-m // BC), dtype,
+                          interpret)
+    if mg is not None:
+        merge_fn, margs = mg
+        n_c = len(c_args)
+
+        def raw(x, *a):
+            ys, _hid = c_raw(x, *a[:n_c])
+            return merge_fn(ys, a[n_c], a[n_c + 1])
+
+        c_args = c_args + margs
+    else:
+        def raw(x, *a):
+            ys, hid = c_raw(x, *a)
+            return jnp.zeros((m,), dtype).at[hid].set(
+                ys.astype(dtype), mode="promise_in_bounds",
+                unique_indices=True)
 
     split = isinstance(plan, SplitChipsPlan)
     meta = {"chunk": plan.rows_per_step, "heavy_rows": plan.NH,
-            "windows": plan.num_windows, "split": split}
+            "windows": plan.num_windows, "split": split,
+            "panel_merge": mg is not None}
     if split:
         meta["loc_entries"] = plan.loc.n_entries if plan.loc else 0
         meta["far_entries"] = plan.far.n_entries if plan.far else 0

@@ -258,3 +258,29 @@ def test_ext_windowed_stage2_e2e():
     assert p.meta["ext_windowed"]
     assert p.meta["ext_r_hot"] >= 8
     assert p.meta["tail_nnz"] <= 0.08 * A.nnz
+
+
+def test_panel_merge_zero_scatter():
+    """The chips tail's final scalar scatter is replaced by a ranked
+    gather into dense y panels; unset lanes read the guaranteed-zero
+    pad slot. Validate both the standalone strategy and the hybrid."""
+    import jax.numpy as jnp
+    from spmv_scpa_tpu.ops import chips_tail
+    rng = np.random.default_rng(17)
+    NH, m = 37, 1000
+    heavy = np.sort(rng.choice(m, NH, replace=False)).astype(np.int64)
+    ys = rng.standard_normal(NH).astype(np.float32)
+    mg = chips_tail.make_panel_merge(heavy, m, -(-m // 128),
+                                     jnp.float32, True)
+    assert mg is not None
+    merge, margs = mg
+    got = np.asarray(merge(jnp.asarray(ys), *margs))
+    want = np.zeros(m, np.float32)
+    want[heavy] = ys
+    np.testing.assert_allclose(got, want, rtol=0)
+
+    # hybrid end-to-end with a chips tail reports panel_merge
+    A = synth.amazon_csr(m=6000, seed=30)
+    p = _run(A, slots=4)
+    assert p.meta["tail_kind"] == "chips"
+    assert p.meta["tail_meta"]["panel_merge"]
