@@ -222,10 +222,11 @@ def plan_chips(rows: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     return plan_chips_split(rows, cols, vals, m, n, h, rows_per_step)
 
 
-def _plan_single(rows, cols, vals, m, n, h, rows_per_step):
+def _plan_single(rows, cols, vals, m, n, h, rows_per_step,
+                 r_cap: int | None = None):
     n_e = int(rows.size)
     uniq, inv = np.unique(cols, return_inverse=True)
-    r1 = _adaptive_r(uniq)
+    r1 = r_cap if r_cap is not None else _adaptive_r(uniq)
     base, p1, l1, pos, Hs, n_groups, n1p_blocks = \
         _pack_sorted_uniques(uniq, n, r1)
     if Hs > H_CAP:
@@ -270,6 +271,60 @@ def _plan_single(rows, cols, vals, m, n, h, rows_per_step):
         p1=p1, l1=l1, E8=E8, p2=p2, l2=l2, vals=vals_a, rbl=rbl,
         win_of_step=win_of_step, num_windows=num_windows, h=h,
         rows_per_step=rows_per_step, heavy_ids=hr_sorted, NH=NH)
+
+
+def pad_resident_plan(plan: ChipsPlan, *, n_groups: int,
+                      n1p_blocks: int, steps: int, num_windows: int,
+                      NH: int, heavy_pad_pool: np.ndarray) -> ChipsPlan:
+    """Pad a resident ChipsPlan to shared SPMD shapes so several
+    shards' plans run as ONE program (parallel/distributed.py). All
+    plans must share R, h and rows_per_step (plan with a forced
+    ``r_cap``); every padded slot contributes exactly zero:
+
+    * extra stage-1 groups gather garbage into hot rows no p2 entry
+      references;
+    * extra chip rows carry vals=0 (their gathered x multiplies away);
+    * extra steps first give every window missing on THIS shard one
+      step (the segsum zeroes a window's output block at its first
+      step — an unvisited block would be uninitialized VMEM), then
+      repeat the last window so ``win_of_step`` stays non-decreasing;
+    * extra heavy slots take ids from ``heavy_pad_pool`` (rows with no
+      tail entries on this shard — their window-segsum rows are zero,
+      so the merge adds 0 to them).
+    """
+    h, rps = plan.h, plan.rows_per_step
+    qps = (rps // 8) * BC
+    pad_g = n_groups - plan.n_groups
+    assert pad_g >= 0 and steps * rps >= plan.E8 >= 0
+    base = np.concatenate([plan.base, np.zeros(pad_g, np.int32)])
+    p1 = np.concatenate(
+        [plan.p1, np.zeros((pad_g * 8, BC), np.int32)])
+    l1 = np.concatenate(
+        [plan.l1, np.zeros((pad_g * 8, BC), np.int32)])
+    wos = list(plan.win_of_step)
+    wos.extend(range(plan.num_windows, num_windows))
+    assert len(wos) <= steps, (len(wos), steps)
+    wos.extend([num_windows - 1] * (steps - len(wos)))
+    pad_e = steps * rps - plan.E8
+    vals = np.concatenate(
+        [plan.vals, np.zeros((pad_e, BC), np.float32)])
+    p2 = np.concatenate([plan.p2, np.zeros((pad_e, BC), np.int32)])
+    l2 = np.concatenate([plan.l2, np.zeros((pad_e, BC), np.int32)])
+    rbl = np.concatenate(
+        [plan.rbl,
+         np.full(steps * qps - plan.rbl.size, h, np.int32)])
+    pad_n = NH - plan.NH
+    assert pad_n >= 0 and heavy_pad_pool.size >= pad_n
+    heavy = np.concatenate(
+        [plan.heavy_ids,
+         heavy_pad_pool[:pad_n].astype(plan.heavy_ids.dtype)])
+    return ChipsPlan(
+        n_e=plan.n_e, H=n_groups * 8, n_groups=n_groups, R=plan.R,
+        n1p_blocks=n1p_blocks, base=base, p1=p1, l1=l1,
+        E8=steps * rps, p2=p2, l2=l2, vals=vals, rbl=rbl,
+        win_of_step=np.asarray(wos, np.int64),
+        num_windows=num_windows, h=h, rows_per_step=rps,
+        heavy_ids=heavy, NH=NH)
 
 
 def plan_chips_split(rows, cols, vals, m, n, h: int = 256,

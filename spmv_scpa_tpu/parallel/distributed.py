@@ -151,12 +151,77 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
     return out
 
 
+def _plan_sharded_chips(cores, h_rows: int, n: int):
+    """Per-shard resident chips plans unified to ONE SPMD shape.
+
+    Row-sharding SHRINKS each shard's tail into the cheap resident
+    regime (per-shard dedup'd tail columns ~ 1/n_dev of the global
+    set), so only the single resident pipeline needs SPMD treatment —
+    a matrix whose global tail busts the resident caps (webbase-class)
+    fits per shard once n_dev is a few. All shards must share every
+    static kernel shape; per-shard structure is pure DATA
+    (ops/chips_tail.py:pad_resident_plan). Returns a list of padded
+    ``ChipsPlan`` (one per shard) or None when any shard's tail
+    doesn't fit (caller keeps the XLA segment-sum tail).
+    """
+    from spmv_scpa_tpu.ops import chips_tail as CT
+
+    tails = []
+    for c in cores:
+        tr, tc, tv = c.trows, c.tcols, c.tvals
+        if tr.size == 0:
+            # zero-tail shard: one zero-valued dummy entry gives the
+            # planner a well-formed, zero-contribution plan
+            tr = np.zeros(1, np.int64)
+            tc = np.zeros(1, np.int64)
+            tv = np.zeros(1, np.float64)
+        tails.append((np.asarray(tr, np.int64),
+                      np.asarray(tc, np.int64), tv))
+
+    def _plan_all(r_cap):
+        ps = []
+        for tr, tc, tv in tails:
+            p = CT._plan_single(tr, tc, tv, h_rows, n, 256, 8,
+                                r_cap=r_cap)
+            if p is None:
+                return None
+            ps.append(p)
+        return ps
+
+    plans = _plan_all(None)
+    if plans is None:
+        return None
+    R = max(p.R for p in plans)         # stage-1 reach: static shape
+    if any(p.R != R for p in plans):
+        plans = _plan_all(R)
+        if plans is None:
+            return None
+
+    ng = max(p.n_groups for p in plans)
+    n1p = max(p.n1p_blocks for p in plans)
+    nw = max(p.num_windows for p in plans)
+    NH = max(p.NH for p in plans)
+    steps = max(p.E8 // p.rows_per_step + (nw - p.num_windows)
+                for p in plans)
+    if steps * 8 * ng * 8 * 128 * 3 > CT.SPLIT_VPU_BUDGET:
+        return None                      # post-unification VPU cost
+    out = []
+    for p in plans:
+        pool = np.setdiff1d(np.arange(h_rows, dtype=np.int64),
+                            p.heavy_ids, assume_unique=False)
+        out.append(CT.pad_resident_plan(
+            p, n_groups=ng, n1p_blocks=n1p, steps=steps,
+            num_windows=nw, NH=NH, heavy_pad_pool=pool))
+    return out
+
+
 def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                                n_shards: int | None = None,
                                loc_w: int | str = "auto",
                                slots: int | str = "auto",
                                chunk: int = 24, dtype=None,
                                strip_cov: float | None = 0.985,
+                               tail_kind: str = "auto",
                                interpret: bool | None = None):
     """Distributed SpMV with the lane-ELL hybrid as the local kernel —
     the round-3 flagship (151.5 GF/s = 0.90 roofline single-chip,
@@ -178,9 +243,13 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     counts pad to the max and per-plane strip sets UNION across shards
     so a single kernel serves all shards; a shard never reads a strip
     it didn't pack (those lanes multiply by 0). Out-of-window/spilled
-    entries ride a per-shard padded XLA segment-sum tail (ext/chips
-    stay single-chip: their gather tables are global-x-indexed and
-    per-shard shapes would break the one-program requirement).
+    entries ride per-shard resident CHIPS pipelines
+    (ops/chips_tail.py) unified to one SPMD shape — row-sharding
+    shrinks each shard's tail into the resident regime, and every
+    per-shard difference is data (pad_resident_plan) — with the
+    zero-scatter panel merge into the local y; tails below ~2k entries
+    (or ones that don't fit) keep the padded XLA segment-sum
+    (``tail_kind`` forces a route).
     """
     import jax
     import jax.numpy as jnp
@@ -245,16 +314,27 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             used_u[q].update(ws)
     used_t = tuple(tuple(sorted(u)) for u in used_u)
 
-    # per-shard padded XLA tail (global columns; x replicated)
-    t_max = max(1, max(c.trows.size for c in cores))
-    seg_a = np.full((n_dev, t_max), h_rows, np.int32)   # dump segment
-    tc_a = np.zeros((n_dev, t_max), np.int32)
-    tv_a = np.zeros((n_dev, t_max), np.float32)
-    for d, c in enumerate(cores):
-        k = int(c.trows.size)
-        seg_a[d, :k] = c.trows
-        tc_a[d, :k] = c.tcols
-        tv_a[d, :k] = c.tvals
+    # Tail route. Big tails (scattered matrices) ride per-shard
+    # resident CHIPS pipelines unified into one SPMD shape
+    # (_plan_sharded_chips); small ones keep the padded XLA
+    # segment-sum (global columns; x replicated), whose fixed cost is
+    # negligible below a few k entries.
+    tail_nnz_tot = int(sum(c.trows.size for c in cores))
+    cplans = None
+    if tail_kind in ("auto", "chips") and tail_nnz_tot >= (
+            2048 if tail_kind == "auto" else 1):
+        cplans = _plan_sharded_chips(cores, h_rows, A.n)
+    use_chips = cplans is not None
+    if not use_chips:
+        t_max = max(1, max(c.trows.size for c in cores))
+        seg_a = np.full((n_dev, t_max), h_rows, np.int32)  # dump seg
+        tc_a = np.zeros((n_dev, t_max), np.int32)
+        tv_a = np.zeros((n_dev, t_max), np.float32)
+        for d, c in enumerate(cores):
+            k = int(c.trows.size)
+            seg_a[d, :k] = c.trows
+            tc_a[d, :k] = c.tcols
+            tv_a[d, :k] = c.tvals
 
     kernel = LE._lane_ell_kernel(chunk, QT, S, P_pad, used_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -290,27 +370,99 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
 
     shard = NamedSharding(mesh, P(axis))
     r0_a = bounds[:-1].astype(np.int32).reshape(n_dev, 1)
-    stack = [jax.device_put(jnp.asarray(a, t), shard)
-             for a, t in ((np.stack(vals_l), dtype),
-                          (np.stack(idx_l), jnp.int16),
-                          (seg_a, jnp.int32), (tc_a, jnp.int32),
-                          (tv_a, dtype), (r0_a, jnp.int32))]
     xw = P_pad * BC
+    stack_np = [(np.stack(vals_l), dtype), (np.stack(idx_l), jnp.int16),
+                (r0_a, jnp.int32)]
+    n_repl = 1                       # replicated leading args of local
+    n1 = 0
 
-    def local(xpad, vals, idx, seg, tc, tv, r0):
-        xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
-        y = call(xs.reshape(P_pad, BC), vals[0],
-                 idx[0]).reshape(-1)[:h_rows]
-        yt = jax.ops.segment_sum(
-            tv[0] * jnp.take(xpad, tc[0] + loc_w), seg[0],
-            num_segments=h_rows + 1, indices_are_sorted=True)
-        return (y + yt[:h_rows])[None, :]
+    if use_chips:
+        from spmv_scpa_tpu.ops import chips_tail as CT
+        from spmv_scpa_tpu.ops import ext_gather
+        from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
 
+        p0 = cplans[0]
+        NH, E8 = p0.NH, p0.E8
+        s1c = ext_gather.make_sorted_gather(
+            p0.n_groups, p0.n1p_blocks, p0.R, dtype, interpret)
+        s2c = ext_gather.make_ranked_gather(p0.H, E8, dtype, interpret)
+        seg_fn, _ = make_window_segsum(
+            win_of_step=p0.win_of_step, num_windows=p0.num_windows,
+            h=p0.h, rows_per_step=p0.rows_per_step, nq=BC,
+            total_tile_rows=E8, dtype=dtype, interpret=interpret)
+        n1 = p0.n1p_blocks * p0.R * BC
+        n_repl = 2                   # xpad + x1
+        stack_np += [
+            (np.stack([p.base for p in cplans]), jnp.int32),
+            (np.stack([p.p1 for p in cplans]), jnp.int32),
+            (np.stack([p.l1 for p in cplans]), jnp.int32),
+            (np.stack([p.p2 for p in cplans]), jnp.int32),
+            (np.stack([p.l2 for p in cplans]), jnp.int32),
+            (np.stack([p.vals for p in cplans]), dtype),
+            (np.stack([p.rbl for p in cplans]), jnp.int32),
+            (np.stack([p.win_of_step for p in cplans]), jnp.int32)]
+        # zero-scatter merge of heavy-row sums into dense local y
+        # (chips_tail.make_panel_merge): per-shard tables, one program
+        # (all shapes are NH/G_pad-unified); scatter fallback otherwise
+        merges = [CT.make_panel_merge(p.heavy_ids, h_rows, G_pad,
+                                      dtype, interpret) for p in cplans]
+        use_merge = all(mg is not None for mg in merges)
+        if use_merge:
+            merge0 = merges[0][0]
+            stack_np += [
+                (np.stack([np.asarray(mg[1][0]) for mg in merges]),
+                 jnp.int32),
+                (np.stack([np.asarray(mg[1][1]) for mg in merges]),
+                 jnp.int32)]
+        else:
+            stack_np.append(
+                (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
+
+        if use_merge:
+            def local(xpad, x1, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
+                      cv, crbl, cwin, mp2, ml2):
+                xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+                y = call(xs.reshape(P_pad, BC), vals[0],
+                         idx[0]).reshape(-1)[:h_rows]
+                hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
+                xg = s2c(hot, cp2[0], cl2[0])
+                ys = seg_fn(cv[0] * xg, crbl[0],
+                            cwin[0]).reshape(-1)[:NH]
+                return (y + merge0(ys, mp2[0], ml2[0]))[None, :]
+        else:
+            def local(xpad, x1, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
+                      cv, crbl, cwin, hid):
+                xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+                y = call(xs.reshape(P_pad, BC), vals[0],
+                         idx[0]).reshape(-1)[:h_rows]
+                hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
+                xg = s2c(hot, cp2[0], cl2[0])
+                ys = seg_fn(cv[0] * xg, crbl[0],
+                            cwin[0]).reshape(-1)[:NH]
+                return y.at[hid[0]].add(
+                    ys.astype(y.dtype), mode="promise_in_bounds",
+                    unique_indices=True)[None, :]
+    else:
+        stack_np += [(seg_a, jnp.int32), (tc_a, jnp.int32),
+                     (tv_a, dtype)]
+
+        def local(xpad, vals, idx, r0, seg, tc, tv):
+            xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+            y = call(xs.reshape(P_pad, BC), vals[0],
+                     idx[0]).reshape(-1)[:h_rows]
+            yt = jax.ops.segment_sum(
+                tv[0] * jnp.take(xpad, tc[0] + loc_w), seg[0],
+                num_segments=h_rows + 1, indices_are_sorted=True)
+            return (y + yt[:h_rows])[None, :]
+
+    stack = [jax.device_put(jnp.asarray(a, t), shard)
+             for a, t in stack_np]
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(P(),) + tuple(P(axis) for _ in stack),
+                       in_specs=(P(),) * n_repl
+                       + tuple(P(axis) for _ in stack),
                        out_specs=P(axis), check_vma=False)
 
-    m = A.m
+    m, n = A.m, A.n
     bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
                 jnp.asarray(bounds[1:], jnp.int32))
 
@@ -318,7 +470,10 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         xf = x.astype(dtype)
         xpad = jnp.concatenate(
             [jnp.zeros(loc_w, dtype), xf, jnp.zeros(xw, dtype)])
-        y_pad = mapped(xpad, *args_stacked)          # (n_dev, h_rows)
+        repl = (xpad,)
+        if use_chips:                # stage-1 x, shared by all shards
+            repl += (jnp.zeros((n1,), dtype).at[:n].set(xf),)
+        y_pad = mapped(*repl, *args_stacked)         # (n_dev, h_rows)
         flat = y_pad.reshape(-1)
         idx = jnp.arange(m, dtype=jnp.int32)
         sh = jnp.searchsorted(bounds_j[1], idx, side="right")
@@ -336,7 +491,9 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     out.raw = raw_full
     out.args = tuple(stack)
     out.meta = {"slots": QT, "loc_w": loc_w, "chunk": chunk,
-                "tail_nnz": int(sum(c.trows.size for c in cores)),
+                "tail_nnz": tail_nnz_tot,
+                "tail_kind": "chips" if use_chips else "xla",
+                "panel_merge": bool(use_chips and use_merge),
                 "strips": S,
                 "demoted": int(sum(c.n_demoted for c in cores)),
                 "relocated": int(sum(c.n_reloc for c in cores))}

@@ -146,3 +146,50 @@ def test_row_sharded_hybrid_empty_shards():
     x = make_x(A.n)
     validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
                     what="dist-hybrid tiny")
+
+
+def test_row_sharded_hybrid_chips_tail():
+    """Big scattered tails ride per-shard resident CHIPS pipelines
+    unified into one SPMD shape (pad_resident_plan): webbase-class
+    matrices whose GLOBAL tail busts the resident caps fit per shard,
+    and the zero-scatter panel merge lands the heavy-row sums."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.webbase_csr(m=20000, seed=5)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(8),
+                                      interpret=True)
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid webbase chips")
+    assert dist.meta["tail_kind"] == "chips"
+    assert dist.meta["panel_merge"]
+
+
+def test_row_sharded_hybrid_chips_forced_small():
+    """tail_kind='chips' forces the route below the auto threshold;
+    zero-tail shards get the dummy zero-contribution plan, and padded
+    shapes (groups / steps / windows / NH) differ across shards."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.amazon_csr(m=6000, seed=30)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(4),
+                                      interpret=True,
+                                      tail_kind="chips")
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid amazon chips forced")
+    assert dist.meta["tail_kind"] == "chips"
+
+
+def test_row_sharded_hybrid_tail_kind_xla_forced():
+    """tail_kind='xla' keeps the segment-sum tail even for big tails
+    (the escape hatch); results stay exact."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.amazon_csr(m=8000, seed=30)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(8),
+                                      interpret=True, tail_kind="xla")
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid amazon xla forced")
+    assert dist.meta["tail_kind"] == "xla"
