@@ -50,6 +50,9 @@ def main() -> int:
     ap.add_argument("--hybrid", action="store_true",
                     help="also sweep the lane-ELL hybrid local kernel "
                          "(the round-3 flagship; interpret mode on CPU)")
+    ap.add_argument("-m", "--matrix", default=None,
+                    help="single matrix spec (synth:... or .mtx path) "
+                         "instead of the built-in suite")
     args = ap.parse_args()
     counts = (tuple(int(c) for c in args.devices.split(","))
               if args.devices else DEVICE_COUNTS)
@@ -71,9 +74,14 @@ def main() -> int:
     from spmv_scpa_tpu.utils.vector import make_x
 
     cpus = jax.devices("cpu")
+    suite = [(args.matrix, {})] if args.matrix else SUITE
     with CsvLogger(args.out) as logger:
-        for spec, _ in SUITE:
-            A = parse_synth_spec(spec)
+        for spec, _ in suite:
+            if spec.startswith("synth:"):
+                A = parse_synth_spec(spec)
+            else:
+                from spmv_scpa_tpu.io.loader import load_csr
+                A = load_csr(spec)
             x = make_x(A.n)
             gold = spmv_oracle(A, x)
             print(f"=== {A.name} nnz={A.nnz} ===", flush=True)

@@ -17,14 +17,14 @@ tunnel was down (docs/PERF_LOG.md round 3):
 Prints one line per (matrix, strategy): ms / GF/s / vs-roofline.
 """
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main() -> int:
-    import numpy as np
-
     from spmv_scpa_tpu import testing as synth
     from spmv_scpa_tpu.bench.roofline import measure_stream_bw
     from spmv_scpa_tpu.bench.timing import time_device_fn, warm_compiler

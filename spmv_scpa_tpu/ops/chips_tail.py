@@ -595,21 +595,13 @@ def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
     return raw_contrib, args, int(hbm)
 
 
-def make_panel_merge(heavy_ids: np.ndarray, m: int, G_pad: int,
-                     dtype, interpret: bool,
-                     budget: float = 6e8):
-    """Zero-scatter merge of per-heavy-row sums back into y.
-
-    The chips pipeline ends in ``y.at[heavy_ids].add(ys)`` — the last
-    scalar step (~30 ns/row: 8948 webbase heavy rows = 0.27 ms,
-    bandwidth-equivalent to ~22 kB/row). This replaces it with one
-    ranked gather (ext_gather.make_ranked_gather): the padded ys
-    vector becomes a resident (H8, 128) region and each 128-row output
-    group gathers its heavy rows' sums into panel lanes —
-    ``panel[r // 128, r % 128] = ys[pos(r)]`` — which add to the core's
-    y DENSELY. Unset lanes point at slot NH, a guaranteed-zero pad
-    entry, so no mask is needed. Returns None when NH exceeds the
-    resident budgets (caller keeps the scatter).
+def merge_tables(heavy_ids: np.ndarray, m: int, G_pad: int,
+                 budget: float = 6e8):
+    """Host (p2, l2) tables for the zero-scatter panel merge, or None
+    when NH exceeds the resident/VPU budgets (caller keeps the
+    scatter). Each 128-row output group's lane points at its heavy
+    row's slot in the padded ys region; unset lanes point at slot NH —
+    a guaranteed-zero pad entry — so no mask stream is needed.
     """
     NH = int(heavy_ids.size)
     H8 = NH // BC + 1            # strictly > NH/BC: slot NH is padding
@@ -623,15 +615,66 @@ def make_panel_merge(heavy_ids: np.ndarray, m: int, G_pad: int,
     k = np.arange(NH, dtype=np.int64)
     p2[grp, lane] = (k // BC).astype(np.int32)
     l2[grp, lane] = (k % BC).astype(np.int32)
-    s2 = ext_gather.make_ranked_gather(H8, G_out, dtype, interpret)
-    pad = H8 * BC - NH
+    return p2, l2
+
+
+def merge_hbm(NH: int, G_pad: int) -> int:
+    """HBM bytes the panel merge streams per call: p2/l2/out lanes
+    (12 B each) + the tiny resident ys region."""
+    G_out = -(-G_pad // 8) * 8
+    return G_out * BC * 12 + (NH // BC + 1) * BC * 4
+
+
+def make_merge_apply(NH: int, m: int, G_pad: int, dtype,
+                     interpret: bool, use_merge: bool):
+    """The shared heavy-row landing step: ``apply(y, ys, *tables) ->
+    y'`` adding per-heavy-row sums ``ys`` (NH,) into a dense y (m,).
+
+    ``use_merge=True`` — zero-scatter panel merge: the padded ys
+    vector becomes a resident (H8, 128) region and each 128-row output
+    group gathers its heavy rows' sums into panel lanes
+    (``panel[r // 128, r % 128] = ys[pos(r)]``) added to y DENSELY;
+    tables = (p2d, l2d) from :func:`merge_tables`. ``False`` — the
+    scalar scatter fallback (~30 ns/row); tables = (hid,). One builder
+    serves the standalone chips strategy, the hybrid tail and the
+    distributed per-shard merge so the composition can't drift.
+    """
+    if use_merge:
+        H8 = NH // BC + 1
+        G_out = -(-G_pad // 8) * 8
+        s2 = ext_gather.make_ranked_gather(H8, G_out, dtype, interpret)
+        pad = H8 * BC - NH
+
+        def apply(y, ys, p2d, l2d):
+            ysp = jnp.pad(ys.astype(dtype), (0, pad)).reshape(H8, BC)
+            return y + s2(ysp, p2d, l2d).reshape(-1)[:m]
+    else:
+        def apply(y, ys, hid):
+            return y.at[hid].add(ys.astype(y.dtype),
+                                 mode="promise_in_bounds",
+                                 unique_indices=True)
+    return apply
+
+
+def make_panel_merge(heavy_ids: np.ndarray, m: int, G_pad: int,
+                     dtype, interpret: bool,
+                     budget: float = 6e8):
+    """Zero-scatter merge of per-heavy-row sums back into y:
+    ``merge(ys, p2d, l2d) -> dense y addend (m,)``. Composition of
+    :func:`merge_tables` + :func:`make_merge_apply`; returns None when
+    the tables don't fit the budgets (caller keeps the scatter).
+    """
+    t = merge_tables(heavy_ids, m, G_pad, budget)
+    if t is None:
+        return None
+    apply = make_merge_apply(int(heavy_ids.size), m, G_pad, dtype,
+                             interpret, True)
 
     def merge(ys, p2d, l2d):
-        ysp = jnp.pad(ys.astype(dtype), (0, pad)).reshape(H8, BC)
-        return s2(ysp, p2d, l2d).reshape(-1)[:m]   # dense y addend
+        return apply(jnp.zeros((m,), dtype), ys, p2d, l2d)
 
-    args = (jax.device_put(jnp.asarray(p2)),
-            jax.device_put(jnp.asarray(l2)))
+    args = (jax.device_put(jnp.asarray(t[0])),
+            jax.device_put(jnp.asarray(t[1])))
     return merge, args
 
 
@@ -659,29 +702,33 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
             f"(uniq cols or {A.nnz} entries too large)")
     c_raw, c_args, hbm = prepare_chips(plan, A.n, dtype, interpret)
     m = A.m
+    G_pad = -(-m // BC)
 
-    mg = make_panel_merge(plan.heavy_ids, m, -(-m // BC), dtype,
-                          interpret)
-    if mg is not None:
-        merge_fn, margs = mg
+    t = merge_tables(plan.heavy_ids, m, G_pad)
+    use_merge = t is not None
+    apply = make_merge_apply(plan.NH, m, G_pad, dtype, interpret,
+                             use_merge)
+    if use_merge:
+        margs = (jax.device_put(jnp.asarray(t[0])),
+                 jax.device_put(jnp.asarray(t[1])))
+        hbm += merge_hbm(plan.NH, G_pad)
         n_c = len(c_args)
 
         def raw(x, *a):
             ys, _hid = c_raw(x, *a[:n_c])
-            return merge_fn(ys, a[n_c], a[n_c + 1])
+            return apply(jnp.zeros((m,), dtype), ys, a[n_c],
+                         a[n_c + 1])
 
         c_args = c_args + margs
     else:
         def raw(x, *a):
             ys, hid = c_raw(x, *a)
-            return jnp.zeros((m,), dtype).at[hid].set(
-                ys.astype(dtype), mode="promise_in_bounds",
-                unique_indices=True)
+            return apply(jnp.zeros((m,), dtype), ys, hid)
 
     split = isinstance(plan, SplitChipsPlan)
     meta = {"chunk": plan.rows_per_step, "heavy_rows": plan.NH,
             "windows": plan.num_windows, "split": split,
-            "panel_merge": mg is not None}
+            "panel_merge": use_merge}
     if split:
         meta["loc_entries"] = plan.loc.n_entries if plan.loc else 0
         meta["far_entries"] = plan.far.n_entries if plan.far else 0

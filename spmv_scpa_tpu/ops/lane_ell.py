@@ -684,14 +684,19 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 plan_c, n, dtype, interpret)
             tail_kind_used = "chips"
             # zero-scatter merge: heavy-row sums gathered into dense
-            # 128-lane y panels (chips_tail.make_panel_merge) instead
-            # of the final scalar y.at[hid].add (~30 ns/heavy-row)
-            mg = chips_tail.make_panel_merge(
-                plan_c.heavy_ids, m, G_pad, dtype, interpret)
+            # 128-lane y panels (chips_tail.merge_tables +
+            # make_merge_apply) instead of the final scalar
+            # y.at[hid].add (~30 ns/heavy-row)
+            mt = chips_tail.merge_tables(plan_c.heavy_ids, m, G_pad)
+            mg = mt is not None
+            apply = chips_tail.make_merge_apply(
+                plan_c.NH, m, G_pad, dtype, interpret, mg)
+            if mg:
+                tail_hbm += chips_tail.merge_hbm(plan_c.NH, G_pad)
             if isinstance(plan_c, chips_tail.SplitChipsPlan):
                 chips_meta = {
                     "heavy_rows": plan_c.NH, "split": True,
-                    "panel_merge": mg is not None,
+                    "panel_merge": mg,
                     "windows": plan_c.num_windows,
                     "loc_entries": (plan_c.loc.n_entries
                                     if plan_c.loc else 0),
@@ -702,28 +707,27 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             else:
                 chips_meta = {
                     "heavy_rows": plan_c.NH, "hot_h": plan_c.H,
-                    "split": False, "panel_merge": mg is not None,
+                    "split": False, "panel_merge": mg,
                     "gather_groups": plan_c.n_groups,
                     "tile_rows": plan_c.E8,
                     "windows": plan_c.num_windows}
 
-            if mg is not None:
-                merge_fn, margs = mg
+            if mg:
+                margs = (jax.device_put(jnp.asarray(mt[0])),
+                         jax.device_put(jnp.asarray(mt[1])))
                 n_c = n_ell + len(c_args)
 
                 def raw(x, *a):
                     y = ell_raw(x, *a[:n_ell])
                     ys, _hid = c_raw(x, *a[n_ell:n_c])
-                    return y + merge_fn(ys, a[n_c], a[n_c + 1])
+                    return apply(y, ys, a[n_c], a[n_c + 1])
 
                 args = ell_args + c_args + margs
             else:
                 def raw(x, *a):
                     y = ell_raw(x, *a[:n_ell])
                     ys, hid = c_raw(x, *a[n_ell:])
-                    return y.at[hid].add(
-                        ys.astype(y.dtype), mode="promise_in_bounds",
-                        unique_indices=True)
+                    return apply(y, ys, hid)
 
                 args = ell_args + c_args
         elif tail_nnz <= tail_xla_max:

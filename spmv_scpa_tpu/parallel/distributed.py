@@ -324,6 +324,11 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     if tail_kind in ("auto", "chips") and tail_nnz_tot >= (
             2048 if tail_kind == "auto" else 1):
         cplans = _plan_sharded_chips(cores, h_rows, A.n)
+    if tail_kind == "chips" and cplans is None:
+        raise ValueError(
+            "tail_kind='chips' forced but the tail cannot ride the "
+            f"per-shard resident pipeline (tail_nnz={tail_nnz_tot}: "
+            "empty, or a shard busts the resident-hot/VPU budgets)")
     use_chips = cplans is not None
     if not use_chips:
         t_max = max(1, max(c.trows.size for c in cores))
@@ -373,8 +378,6 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     xw = P_pad * BC
     stack_np = [(np.stack(vals_l), dtype), (np.stack(idx_l), jnp.int16),
                 (r0_a, jnp.int32)]
-    n_repl = 1                       # replicated leading args of local
-    n1 = 0
 
     if use_chips:
         from spmv_scpa_tpu.ops import chips_tail as CT
@@ -391,7 +394,6 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             h=p0.h, rows_per_step=p0.rows_per_step, nq=BC,
             total_tile_rows=E8, dtype=dtype, interpret=interpret)
         n1 = p0.n1p_blocks * p0.R * BC
-        n_repl = 2                   # xpad + x1
         stack_np += [
             (np.stack([p.base for p in cplans]), jnp.int32),
             (np.stack([p.p1 for p in cplans]), jnp.int32),
@@ -401,47 +403,40 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             (np.stack([p.vals for p in cplans]), dtype),
             (np.stack([p.rbl for p in cplans]), jnp.int32),
             (np.stack([p.win_of_step for p in cplans]), jnp.int32)]
-        # zero-scatter merge of heavy-row sums into dense local y
-        # (chips_tail.make_panel_merge): per-shard tables, one program
-        # (all shapes are NH/G_pad-unified); scatter fallback otherwise
-        merges = [CT.make_panel_merge(p.heavy_ids, h_rows, G_pad,
-                                      dtype, interpret) for p in cplans]
-        use_merge = all(mg is not None for mg in merges)
+        # zero-scatter merge of heavy-row sums into the dense local y:
+        # per-shard host tables (chips_tail.merge_tables), ONE apply
+        # program (shapes are NH/G_pad-unified); scatter fallback
+        # otherwise
+        mtabs = [CT.merge_tables(p.heavy_ids, h_rows, G_pad)
+                 for p in cplans]
+        use_merge = all(t is not None for t in mtabs)
+        apply_m = CT.make_merge_apply(NH, h_rows, G_pad, dtype,
+                                      interpret, use_merge)
         if use_merge:
-            merge0 = merges[0][0]
             stack_np += [
-                (np.stack([np.asarray(mg[1][0]) for mg in merges]),
-                 jnp.int32),
-                (np.stack([np.asarray(mg[1][1]) for mg in merges]),
-                 jnp.int32)]
+                (np.stack([t[0] for t in mtabs]), jnp.int32),
+                (np.stack([t[1] for t in mtabs]), jnp.int32)]
         else:
             stack_np.append(
                 (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
+        n_loc = A.n                  # global x span inside xpad
 
-        if use_merge:
-            def local(xpad, x1, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
-                      cv, crbl, cwin, mp2, ml2):
-                xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
-                y = call(xs.reshape(P_pad, BC), vals[0],
-                         idx[0]).reshape(-1)[:h_rows]
-                hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
-                xg = s2c(hot, cp2[0], cl2[0])
-                ys = seg_fn(cv[0] * xg, crbl[0],
-                            cwin[0]).reshape(-1)[:NH]
-                return (y + merge0(ys, mp2[0], ml2[0]))[None, :]
-        else:
-            def local(xpad, x1, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
-                      cv, crbl, cwin, hid):
-                xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
-                y = call(xs.reshape(P_pad, BC), vals[0],
-                         idx[0]).reshape(-1)[:h_rows]
-                hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
-                xg = s2c(hot, cp2[0], cl2[0])
-                ys = seg_fn(cv[0] * xg, crbl[0],
-                            cwin[0]).reshape(-1)[:NH]
-                return y.at[hid[0]].add(
-                    ys.astype(y.dtype), mode="promise_in_bounds",
-                    unique_indices=True)[None, :]
+        def local(xpad, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
+                  cv, crbl, cwin, *mt):
+            xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+            y = call(xs.reshape(P_pad, BC), vals[0],
+                     idx[0]).reshape(-1)[:h_rows]
+            # stage-1 x: global frame, recovered from the replicated
+            # xpad locally (pure VPU work — shipping a second
+            # full-x-sized operand through the mesh would double the
+            # replicated-x traffic)
+            x1 = jnp.zeros((n1,), dtype).at[:n_loc].set(
+                jax.lax.slice(xpad, (loc_w,), (loc_w + n_loc,)))
+            hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
+            xg = s2c(hot, cp2[0], cl2[0])
+            ys = seg_fn(cv[0] * xg, crbl[0],
+                        cwin[0]).reshape(-1)[:NH]
+            return apply_m(y, ys, *(t[0] for t in mt))[None, :]
     else:
         stack_np += [(seg_a, jnp.int32), (tc_a, jnp.int32),
                      (tv_a, dtype)]
@@ -458,11 +453,11 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     stack = [jax.device_put(jnp.asarray(a, t), shard)
              for a, t in stack_np]
     mapped = shard_map(local, mesh=mesh,
-                       in_specs=(P(),) * n_repl
+                       in_specs=(P(),)
                        + tuple(P(axis) for _ in stack),
                        out_specs=P(axis), check_vma=False)
 
-    m, n = A.m, A.n
+    m = A.m
     bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
                 jnp.asarray(bounds[1:], jnp.int32))
 
@@ -470,10 +465,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         xf = x.astype(dtype)
         xpad = jnp.concatenate(
             [jnp.zeros(loc_w, dtype), xf, jnp.zeros(xw, dtype)])
-        repl = (xpad,)
-        if use_chips:                # stage-1 x, shared by all shards
-            repl += (jnp.zeros((n1,), dtype).at[:n].set(xf),)
-        y_pad = mapped(*repl, *args_stacked)         # (n_dev, h_rows)
+        y_pad = mapped(xpad, *args_stacked)          # (n_dev, h_rows)
         flat = y_pad.reshape(-1)
         idx = jnp.arange(m, dtype=jnp.int32)
         sh = jnp.searchsorted(bounds_j[1], idx, side="right")

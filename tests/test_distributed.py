@@ -193,3 +193,35 @@ def test_row_sharded_hybrid_tail_kind_xla_forced():
     validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
                     what="dist-hybrid amazon xla forced")
     assert dist.meta["tail_kind"] == "xla"
+
+
+def test_row_sharded_hybrid_chips_scatter_fallback(monkeypatch):
+    """When the panel-merge tables bust the budget, the per-shard
+    scatter lands the heavy-row sums (one program, hid as data)."""
+    from spmv_scpa_tpu.ops import chips_tail
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    monkeypatch.setattr(chips_tail, "merge_tables",
+                        lambda *a, **k: None)
+    A = synth.amazon_csr(m=6000, seed=30)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(4),
+                                      interpret=True,
+                                      tail_kind="chips")
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid chips scatter fallback")
+    assert dist.meta["tail_kind"] == "chips"
+    assert not dist.meta["panel_merge"]
+
+
+def test_row_sharded_hybrid_chips_forced_unplannable_raises():
+    """tail_kind='chips' must not silently run the XLA tail: an empty
+    tail (or a shard busting the budgets) raises."""
+    import pytest as _pytest
+
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.diag_csr(600)          # window covers all: empty tail
+    with _pytest.raises(ValueError, match="tail_kind='chips'"):
+        prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(2),
+                                   interpret=True, tail_kind="chips")
