@@ -595,6 +595,15 @@ def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
     return raw_contrib, args, int(hbm)
 
 
+def _merge_h8(NH: int) -> int:
+    """Resident ys-region height for the panel merge: strictly more
+    than NH/128 sublanes (slot NH is the guaranteed-zero pad entry),
+    rounded up to a multiple of 8 — every other resident-gather
+    operand in the codebase is 8-sublane aligned and Mosaic block
+    tilings want sublane dims in 8s (segsum_kernel.py)."""
+    return -(-(NH // BC + 1) // 8) * 8
+
+
 def merge_tables(heavy_ids: np.ndarray, m: int, G_pad: int,
                  budget: float = 6e8):
     """Host (p2, l2) tables for the zero-scatter panel merge, or None
@@ -604,7 +613,9 @@ def merge_tables(heavy_ids: np.ndarray, m: int, G_pad: int,
     a guaranteed-zero pad entry — so no mask stream is needed.
     """
     NH = int(heavy_ids.size)
-    H8 = NH // BC + 1            # strictly > NH/BC: slot NH is padding
+    assert NH == 0 or int(heavy_ids.max()) < min(m, G_pad * BC), \
+        "heavy_ids must index rows (< m <= G_pad*128)"
+    H8 = _merge_h8(NH)
     G_out = -(-G_pad // 8) * 8
     if H8 > H_CAP or G_out * H8 * BC * 3 > budget:
         return None
@@ -622,7 +633,7 @@ def merge_hbm(NH: int, G_pad: int) -> int:
     """HBM bytes the panel merge streams per call: p2/l2/out lanes
     (12 B each) + the tiny resident ys region."""
     G_out = -(-G_pad // 8) * 8
-    return G_out * BC * 12 + (NH // BC + 1) * BC * 4
+    return G_out * BC * 12 + _merge_h8(NH) * BC * 4
 
 
 def make_merge_apply(NH: int, m: int, G_pad: int, dtype,
@@ -640,7 +651,7 @@ def make_merge_apply(NH: int, m: int, G_pad: int, dtype,
     distributed per-shard merge so the composition can't drift.
     """
     if use_merge:
-        H8 = NH // BC + 1
+        H8 = _merge_h8(NH)
         G_out = -(-G_pad // 8) * 8
         s2 = ext_gather.make_ranked_gather(H8, G_out, dtype, interpret)
         pad = H8 * BC - NH
@@ -656,26 +667,38 @@ def make_merge_apply(NH: int, m: int, G_pad: int, dtype,
     return apply
 
 
-def make_panel_merge(heavy_ids: np.ndarray, m: int, G_pad: int,
-                     dtype, interpret: bool,
-                     budget: float = 6e8):
-    """Zero-scatter merge of per-heavy-row sums back into y:
-    ``merge(ys, p2d, l2d) -> dense y addend (m,)``. Composition of
-    :func:`merge_tables` + :func:`make_merge_apply`; returns None when
-    the tables don't fit the budgets (caller keeps the scatter).
+def make_landing(heavy_ids: np.ndarray, m: int, G_pad: int, dtype,
+                 interpret: bool, budget: float = 6e8):
+    """The heavy-row landing step, fully composed: returns
+    ``(land, margs, use_merge, extra_hbm)`` where
+    ``land(y, ys, hid, *margs) -> y'`` adds the per-heavy-row sums
+    into a dense y. Prefers the zero-scatter panel merge (tables
+    travel as the ``margs`` jit arguments; ``hid`` is ignored) and
+    falls back to the scalar scatter (``margs`` empty) when the
+    tables bust the budgets. The single production composition for
+    the standalone chips strategy AND the hybrid tail — the
+    distributed builder composes merge_tables/make_merge_apply
+    directly because its table shapes unify across shards.
     """
     t = merge_tables(heavy_ids, m, G_pad, budget)
-    if t is None:
-        return None
+    use_merge = t is not None
     apply = make_merge_apply(int(heavy_ids.size), m, G_pad, dtype,
-                             interpret, True)
+                             interpret, use_merge)
+    if use_merge:
+        margs = (jax.device_put(jnp.asarray(t[0])),
+                 jax.device_put(jnp.asarray(t[1])))
+        extra = merge_hbm(int(heavy_ids.size), G_pad)
 
-    def merge(ys, p2d, l2d):
-        return apply(jnp.zeros((m,), dtype), ys, p2d, l2d)
+        def land(y, ys, hid, *mt):
+            return apply(y, ys, *mt)
+    else:
+        margs = ()
+        extra = 0
 
-    args = (jax.device_put(jnp.asarray(t[0])),
-            jax.device_put(jnp.asarray(t[1])))
-    return merge, args
+        def land(y, ys, hid, *mt):
+            return apply(y, ys, hid)
+
+    return land, margs, use_merge, extra
 
 
 def prepare_chips_strategy(A, dtype=jnp.float32,
@@ -704,26 +727,16 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
     m = A.m
     G_pad = -(-m // BC)
 
-    t = merge_tables(plan.heavy_ids, m, G_pad)
-    use_merge = t is not None
-    apply = make_merge_apply(plan.NH, m, G_pad, dtype, interpret,
-                             use_merge)
-    if use_merge:
-        margs = (jax.device_put(jnp.asarray(t[0])),
-                 jax.device_put(jnp.asarray(t[1])))
-        hbm += merge_hbm(plan.NH, G_pad)
-        n_c = len(c_args)
+    land, margs, use_merge, extra = make_landing(
+        plan.heavy_ids, m, G_pad, dtype, interpret)
+    hbm += extra
+    n_c = len(c_args)
 
-        def raw(x, *a):
-            ys, _hid = c_raw(x, *a[:n_c])
-            return apply(jnp.zeros((m,), dtype), ys, a[n_c],
-                         a[n_c + 1])
+    def raw(x, *a):
+        ys, hid = c_raw(x, *a[:n_c])
+        return land(jnp.zeros((m,), dtype), ys, hid, *a[n_c:])
 
-        c_args = c_args + margs
-    else:
-        def raw(x, *a):
-            ys, hid = c_raw(x, *a)
-            return apply(jnp.zeros((m,), dtype), ys, hid)
+    c_args = c_args + margs
 
     split = isinstance(plan, SplitChipsPlan)
     meta = {"chunk": plan.rows_per_step, "heavy_rows": plan.NH,

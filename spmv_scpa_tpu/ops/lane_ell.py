@@ -683,16 +683,12 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             c_raw, c_args, tail_hbm = chips_tail.prepare_chips(
                 plan_c, n, dtype, interpret)
             tail_kind_used = "chips"
-            # zero-scatter merge: heavy-row sums gathered into dense
-            # 128-lane y panels (chips_tail.merge_tables +
-            # make_merge_apply) instead of the final scalar
-            # y.at[hid].add (~30 ns/heavy-row)
-            mt = chips_tail.merge_tables(plan_c.heavy_ids, m, G_pad)
-            mg = mt is not None
-            apply = chips_tail.make_merge_apply(
-                plan_c.NH, m, G_pad, dtype, interpret, mg)
-            if mg:
-                tail_hbm += chips_tail.merge_hbm(plan_c.NH, G_pad)
+            # heavy-row landing: zero-scatter panel merge when the
+            # tables fit, scalar scatter otherwise — the same composed
+            # step as the standalone strategy (chips_tail.make_landing)
+            land, margs, mg, extra = chips_tail.make_landing(
+                plan_c.heavy_ids, m, G_pad, dtype, interpret)
+            tail_hbm += extra
             if isinstance(plan_c, chips_tail.SplitChipsPlan):
                 chips_meta = {
                     "heavy_rows": plan_c.NH, "split": True,
@@ -712,24 +708,14 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                     "tile_rows": plan_c.E8,
                     "windows": plan_c.num_windows}
 
-            if mg:
-                margs = (jax.device_put(jnp.asarray(mt[0])),
-                         jax.device_put(jnp.asarray(mt[1])))
-                n_c = n_ell + len(c_args)
+            n_c = n_ell + len(c_args)
 
-                def raw(x, *a):
-                    y = ell_raw(x, *a[:n_ell])
-                    ys, _hid = c_raw(x, *a[n_ell:n_c])
-                    return apply(y, ys, a[n_c], a[n_c + 1])
+            def raw(x, *a):
+                y = ell_raw(x, *a[:n_ell])
+                ys, hid = c_raw(x, *a[n_ell:n_c])
+                return land(y, ys, hid, *a[n_c:])
 
-                args = ell_args + c_args + margs
-            else:
-                def raw(x, *a):
-                    y = ell_raw(x, *a[:n_ell])
-                    ys, hid = c_raw(x, *a[n_ell:])
-                    return apply(y, ys, hid)
-
-                args = ell_args + c_args
+            args = ell_args + c_args + margs
         elif tail_nnz <= tail_xla_max:
             seg_d = jax.device_put(jnp.asarray(
                 np.searchsorted(R, trows), jnp.int32))

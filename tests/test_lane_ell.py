@@ -263,18 +263,19 @@ def test_ext_windowed_stage2_e2e():
 def test_panel_merge_zero_scatter():
     """The chips tail's final scalar scatter is replaced by a ranked
     gather into dense y panels; unset lanes read the guaranteed-zero
-    pad slot. Validate both the standalone strategy and the hybrid."""
+    pad slot. Validate both the standalone landing step and the
+    hybrid."""
     import jax.numpy as jnp
     from spmv_scpa_tpu.ops import chips_tail
     rng = np.random.default_rng(17)
     NH, m = 37, 1000
     heavy = np.sort(rng.choice(m, NH, replace=False)).astype(np.int64)
     ys = rng.standard_normal(NH).astype(np.float32)
-    mg = chips_tail.make_panel_merge(heavy, m, -(-m // 128),
-                                     jnp.float32, True)
-    assert mg is not None
-    merge, margs = mg
-    got = np.asarray(merge(jnp.asarray(ys), *margs))
+    land, margs, use_merge, extra = chips_tail.make_landing(
+        heavy, m, -(-m // 128), jnp.float32, True)
+    assert use_merge and extra > 0
+    got = np.asarray(land(jnp.zeros(m, jnp.float32), jnp.asarray(ys),
+                          None, *margs))
     want = np.zeros(m, np.float32)
     want[heavy] = ys
     np.testing.assert_allclose(got, want, rtol=0)
