@@ -107,3 +107,57 @@ def test_pad_resident_plan_forced_rcap():
         want = _oracle(core.trows, core.tcols, core.tvals, 100_000, x)
         assert np.linalg.norm(got - want) <= 1e-4 * max(
             1.0, np.linalg.norm(want))
+
+
+def _mixed_csr(seed):
+    """Adversarial structure mix: band + Zipf hubs + mega-rows +
+    empty rows + a dense stripe — every packing mechanism at once."""
+    from spmv_scpa_tpu.formats.csr import CSR
+    rng = np.random.default_rng(seed)
+    m = n = int(rng.integers(900, 2600))
+    rows, cols = [], []
+    for r in range(m):
+        k = int(rng.poisson(3))
+        if rng.random() < 0.03:
+            k = 0                                   # empty row
+        elif rng.random() < 0.01:
+            k = int(rng.integers(150, 400))         # mega-row
+        if not k:
+            continue
+        local = rng.integers(max(0, r - 60), min(n, r + 60), k // 2 + 1)
+        hubs = rng.zipf(1.6, k - k // 2 - 1) % n if k > 1 else []
+        c = np.unique(np.concatenate([local, np.asarray(hubs, np.int64),
+                                      [r % n]]))
+        rows.extend([r] * c.size)
+        cols.extend(c.tolist())
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = rng.standard_normal(rows.size)
+    irp = np.zeros(m + 1, np.int64)
+    np.add.at(irp, rows + 1, 1)
+    irp = np.cumsum(irp)
+    return CSR(irp=irp, ja=cols.astype(np.int32),
+               as_=vals, m=m, n=n, name=f"fuzz{seed}")
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_hybrid_fuzz_mixed_structure(seed):
+    """Property test: the full hybrid (core + demotion/relocation +
+    overflow + ext/chips tails) vs the fp64 oracle on adversarial
+    structure mixes, plus the distributed form on a 4-mesh."""
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    from spmv_scpa_tpu.ops.registry import get_strategy
+    from spmv_scpa_tpu.parallel.distributed import (
+        make_mesh, prepare_row_sharded_hybrid)
+    from spmv_scpa_tpu.utils.validation import validate_result
+    from spmv_scpa_tpu.utils.vector import make_x
+    A = _mixed_csr(seed)
+    x = make_x(A.n)
+    gold = spmv_oracle(A, x)
+    p = get_strategy("pallas-hybrid").prepare(A, interpret=True)
+    validate_result(gold, np.asarray(p.fn(x)), what=f"fuzz{seed}")
+
+    cpus = jax.devices("cpu")
+    d = prepare_row_sharded_hybrid(A, mesh=make_mesh(devices=cpus[:4]),
+                                   interpret=True)
+    validate_result(gold, np.asarray(d.fn(x)), what=f"fuzz{seed}-dist")
