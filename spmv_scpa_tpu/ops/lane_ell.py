@@ -77,6 +77,29 @@ from spmv_scpa_tpu.formats.panel_ell import BC, BR
 
 X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
 
+
+def pow2_bound(v, min_exp: int = -60):
+    """Smallest EXACT f32 power of two > ``v`` (v > 0), by exponent-bit
+    surgery: 2^(floor(log2 v) + 1), clamped to 2^min_exp.
+
+    ``jnp.exp2`` must NOT be used for this: XLA CPU lowers it to a
+    polynomial approximation — measured exp2(33.0) = 8589939712 !=
+    2^33 = 8589934592 — and a non-power-of-two scale silently breaks
+    every "exact by power-of-two grid" step of the df64 digit-plane
+    kernels (this was found as a ~2^-25 rel error on wide-exponent
+    matrices). Reading the exponent field from the float's bits is
+    exact by construction.
+    """
+    import jax.numpy as jnp
+    eb = jax.lax.shift_right_logical(
+        jax.lax.bitcast_convert_type(
+            jnp.asarray(v, jnp.float32), jnp.int32), 23) & 0xff
+    # +2: strictly above v plus one guard bit (the f32 head of a can
+    # overshoot amax by 2^-24 rel), mirroring the ceil(log2)+1 rule
+    e2 = jnp.maximum(eb - 127 + 2, min_exp)
+    return jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(e2 + 127, 23), jnp.float32)
+
 _LOC_CHOICES = (128, 256, 512, 1024, 2048, 4096)
 _HOT_CHOICES = (128, 256, 512, 1024, 2048, 4096, 8192)
 _Q_CHOICES = (1, 2, 4, 8, 16, 24, 32, 48, 64, 80, 96, 128)
@@ -153,6 +176,272 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
             else jnp.zeros((chunk, BC), o_ref.dtype)
 
     return kernel
+
+
+DF64_LANE_PLANES = 8     # 7-bit digit planes: 56 bits below the scale
+
+
+def _lane_ell_kernel_df64(chunk: int, Q: int, S: int, used: tuple,
+                          planes: int = DF64_LANE_PLANES):
+    """fp64-grade lane-ELL core: exact digit-plane accumulation on the
+    rows-as-lanes reduction (the reference computes natively in fp64,
+    /root/reference/include/csr.h:12; TPUs have no fp64).
+
+    Why not compensated (TwoSum) pairs: XLA duplicates cheap multiplies
+    across fusions and CONTRACTS them into FMAs at the consuming add —
+    measured here: ``t = s + ah*xvh`` compiled as fma broke the TwoSum
+    invariant by a half-ulp of t (adding a debug store of the product
+    flipped the compilation and fixed the result). Error-free
+    transforms that depend on the rounding of a mul-feeding-add are
+    not compiler-stable. The digit-plane scheme (same design as the
+    MXU one, ops/pallas_kernels.py:_fused_kernel_df64) is immune: every
+    operation is either exact by value range (integer digits < 2^24 in
+    f32; digit-residual subtractions on a power-of-two grid) or
+    second-order (Dekker ``err`` terms — contraction only re-rounds
+    quantities that are already O(2^-48) relative).
+
+    Per slot plane: gather the x (hi, lo) pair from the sliding
+    window, Dekker-split the product into (ph, plo) exactly, slice ph
+    into ``planes`` signed 7-bit digits on the runtime power-of-two
+    scale E (SMEM), and add each digit into its own per-lane integer
+    accumulator — plain f32 adds of integers, exact for any Q <= 128
+    (|digit sum| <= 129*Q < 2^24). ``plo`` joins the residual chain at
+    k==2 where the grid has reached its magnitude. Outputs: ``planes``
+    digit accumulators scaled by E*2^-7(k+1) on device (exact:
+    integer x power of two); the host recombines in real float64
+    (Prepared.post). Padding slots (vh=vl=0, idx=0) contribute 0.
+    """
+
+    def kernel(sc_ref, xh_ref, xl_ref, vh_ref, vl_ref, idx_ref,
+               o_ref, wh_ref, wl_ref):
+        i = pl.program_id(0)
+        wh_ref[:, :] = xh_ref[pl.ds(i * chunk, chunk + S), :]
+        wl_ref[:, :] = xl_ref[pl.ds(i * chunk, chunk + S), :]
+        E = sc_ref[0, 0]
+        invE = jnp.float32(1.0) / E
+        acc = [jnp.zeros((chunk, BC), jnp.float32)
+               for _ in range(planes)]
+        for q in range(Q):
+            if not used[q]:          # plane entirely padding
+                continue
+            sl_q = slice(q * chunk, (q + 1) * chunk)
+            vh = vh_ref[sl_q, :]
+            vl = vl_ref[sl_q, :]
+            iq = idx_ref[sl_q, :].astype(jnp.int32)
+            lq = jax.lax.bitwise_and(iq, 127)
+            xvh = xvl = None
+            for w in used[q]:
+                gh = jnp.take_along_axis(wh_ref[w:w + chunk, :], lq,
+                                         axis=1)
+                gl = jnp.take_along_axis(wl_ref[w:w + chunk, :], lq,
+                                         axis=1)
+                if xvh is None:
+                    xvh, xvl = gh, gl
+                else:
+                    sel = jax.lax.shift_right_logical(iq, 7) == w
+                    xvh = jnp.where(sel, gh, xvh)
+                    xvl = jnp.where(sel, gl, xvl)
+            # Dekker product: vh*xvh = ph + err exactly (12-bit splits)
+            ph = vh * xvh
+            t = jnp.float32(4097.0) * vh
+            v1 = t - (t - vh)
+            v2 = vh - v1
+            t = jnp.float32(4097.0) * xvh
+            u1 = t - (t - xvh)
+            u2 = xvh - u1
+            err = ((v1 * u1 - ph) + v1 * u2 + v2 * u1) + v2 * u2
+            plo = err + vh * xvl + vl * xvh
+            r = ph
+            for k in range(planes):
+                d = jnp.round(r * (invE * jnp.float32(2.0 ** (7 * (k + 1)))))
+                r = r - d * (E * jnp.float32(2.0 ** (-7 * (k + 1))))
+                if k == 2:           # grid reached the low word
+                    r = r + plo
+                acc[k] = acc[k] + d
+        for k in range(planes):
+            o_ref[k * chunk:(k + 1) * chunk, :] = \
+                acc[k] * (E * jnp.float32(2.0 ** (-7 * (k + 1))))
+
+    return kernel
+
+
+def prepare_lane_ell_df64(A: CSR, chunk: int | None = None,
+                          loc_w: int | str = "auto",
+                          interpret: bool | None = None,
+                          Prepared=None, **_):
+    """fp64-grade lane-ELL strategy (``pallas-hybrid-df64``).
+
+    Scope: the pure lane-ELL regime — every entry must sit inside the
+    diagonal window and every row must fit in <= 128 slot planes (no
+    demotion, no hot/ext region, no tail: each would need its own
+    exact landing to preserve the error budget; 128 also keeps digit
+    sums < 2^24). The flagship class (banded/FEM, <= ~128 nnz/row)
+    qualifies; scattered matrices keep ``pallas-pell-df64`` (digit
+    planes over the one-hot MXU path handle arbitrary structure) or
+    ``xla-ell-df64``.
+
+    x enters as a host-split (2, n) hi/lo f32 pair (``prep_x``), y
+    leaves as (planes, m) scaled digit planes summed in float64 on
+    the host (``post``) — the same plumbing as pallas-pell-df64.
+    """
+    from spmv_scpa_tpu.ops.registry import Prepared as _Prepared
+    from spmv_scpa_tpu.ops.registry import bind
+    if Prepared is None:
+        Prepared = _Prepared
+    if interpret is None:
+        interpret = _auto_interpret()
+
+    m, n = A.m, A.n
+    nnz = A.nnz
+    rows = A.row_ids().astype(np.int64)
+    cols = A.ja.astype(np.int64)
+
+    if loc_w == "auto":
+        loc_w = _LOC_CHOICES[-1]
+        if nnz:
+            d = np.abs(cols - rows)
+            for w in _LOC_CHOICES:
+                if float(np.max(d, initial=0)) <= w:
+                    loc_w = w
+                    break
+    if loc_w % BC:
+        raise ValueError("loc_w must be a multiple of 128")
+    PL = loc_w // BC
+    S = 1 + 2 * PL
+
+    grp = rows // BC
+    off = cols - grp * BC + loc_w
+    if nnz and not bool(np.all((off >= 0) & (off < S * BC))):
+        n_out = int(np.sum((off < 0) | (off >= S * BC)))
+        raise ValueError(
+            f"pallas-hybrid-df64: {n_out} entries outside the "
+            f"loc_w={loc_w} diagonal window (no df64 tail); use "
+            "pallas-pell-df64")
+    sl = (np.arange(nnz, dtype=np.int64)
+          - A.irp[rows].astype(np.int64)) if nnz else np.zeros(0, np.int64)
+    Q = int(sl.max(initial=0)) + 1
+    if Q > 128:
+        raise ValueError(
+            f"pallas-hybrid-df64: max row length {Q} > 128 slot "
+            "planes; use pallas-pell-df64")
+    if chunk is None:
+        chunk = max(8, min(256, (2048 // Q) // 8 * 8))
+
+    G_tot = max(1, -(-m // BC))
+    G_pad = -(-G_tot // chunk) * chunk
+    steps = G_pad // chunk
+    P_pad = G_pad + S
+    x_bytes = 2 * P_pad * BC * 4
+    if x_bytes > X_VMEM_BUDGET:
+        raise ValueError(
+            f"pallas-hybrid-df64: resident x pair ({x_bytes} B) "
+            "exceeds the VMEM budget; use xla-ell-df64")
+    n_local = min(n, P_pad * BC - loc_w)
+
+    # host-side f32 split (f64 available here, never on device)
+    a64 = np.asarray(A.as_, np.float64)
+    vh = a64.astype(np.float32)
+    vl = (a64 - vh.astype(np.float64)).astype(np.float32)
+    amax = float(np.max(np.abs(a64), initial=0.0))
+
+    planes = DF64_LANE_PLANES
+    shape = (steps * Q * chunk, BC)
+    vh_a = np.zeros(shape, np.float32)
+    vl_a = np.zeros(shape, np.float32)
+    idx_a = np.zeros(shape, np.int16)
+    used: list[set] = [set() for _ in range(Q)]
+    if nnz:
+        lane = (rows % BC).astype(np.int64)
+        arow = (grp // chunk) * (Q * chunk) + sl * chunk + grp % chunk
+        vh_a[arow, lane] = vh
+        vl_a[arow, lane] = vl
+        idx_a[arow, lane] = off.astype(np.int16)
+        qs = np.unique(np.stack([sl, off // BC]), axis=1)
+        for q, w in qs.T:
+            used[int(q)].add(int(w))
+    used_t = tuple(tuple(sorted(u)) for u in used)
+
+    dtype = jnp.float32
+    vh_d = jax.device_put(jnp.asarray(vh_a))
+    vl_d = jax.device_put(jnp.asarray(vl_a))
+    idx_d = jax.device_put(jnp.asarray(idx_a))
+
+    blk = lambda i: (i, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # E scale (1, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xh resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # xl resident
+            pl.BlockSpec((Q * chunk, BC), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q * chunk, BC), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q * chunk, BC), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((planes * chunk, BC), blk,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype),
+                        pltpu.VMEM((chunk + S, BC), dtype)],
+    )
+    call = pl.pallas_call(
+        _lane_ell_kernel_df64(chunk, Q, S, used_t, planes),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((planes * G_pad, BC), dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                2 * x_bytes + 2 * planes * G_pad * BC * 4
+                + 4 * Q * chunk * BC * 10
+                + 2 * (chunk + S) * BC * 4
+                + 2 * planes * chunk * BC * 4
+                + (8 << 20), 110 << 20)),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * steps * Q * chunk * BC,
+            bytes_accessed=int(steps * Q * chunk * BC * 10 + x_bytes
+                               + planes * G_pad * BC * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )
+
+    amax_c = float(max(amax, np.finfo(np.float32).tiny))
+
+    def raw(x2, vh_f, vl_f, idx_f):
+        xh, xl = x2[0], x2[1]
+        xmax = jnp.maximum(jnp.max(jnp.abs(xh)), jnp.float32(1e-30))
+        # EXACT power-of-two bound with a guard bit (pow2_bound — NOT
+        # jnp.exp2, which XLA approximates); keep E*2^-56 normal (TPU
+        # flushes f32 denormals). Same scale rule as pallas-pell-df64.
+        E = pow2_bound(jnp.float32(amax_c) * xmax)
+        xph = jnp.zeros((P_pad * BC,), dtype)
+        xph = xph.at[loc_w:loc_w + n_local].set(xh[:n_local])
+        xpl = jnp.zeros((P_pad * BC,), dtype)
+        xpl = xpl.at[loc_w:loc_w + n_local].set(xl[:n_local])
+        yp = call(E.reshape(1, 1), xph.reshape(P_pad, BC),
+                  xpl.reshape(P_pad, BC), vh_f, vl_f, idx_f)
+        # (planes*G_pad, BC) with step-interleaved plane blocks:
+        # rows [s*planes*chunk + k*chunk + c] -> plane k, group
+        # s*chunk + c
+        return yp.reshape(steps, planes, chunk * BC) \
+                 .transpose(1, 0, 2).reshape(planes, -1)[:, :m]
+
+    def prep_x(x):
+        x = np.asarray(x, np.float64)
+        hi = x.astype(np.float32)
+        lo = (x - hi.astype(np.float64)).astype(np.float32)
+        return jax.device_put(jnp.stack([hi, lo]))
+
+    def post(yp):
+        return np.asarray(yp, np.float64).sum(axis=0)
+
+    args = (vh_d, vl_d, idx_d)
+    return Prepared(
+        "pallas-hybrid-df64", A.name, bind(raw, args, prep_x, post),
+        on_device=True, nnz=nnz, raw=raw, args=args,
+        prep_x=prep_x, post=post,
+        hbm_bytes=int(steps * Q * chunk * BC * 10 + 2 * n * 4
+                      + planes * G_pad * BC * 4),
+        meta={"loc_w": loc_w, "slots": Q, "strips": S, "chunk": chunk,
+              "steps": steps, "planes": planes,
+              "fill": float(nnz) / max(G_pad * Q * BC, 1)})
 
 
 def _auto_loc_w(rows: np.ndarray, cols: np.ndarray) -> int:

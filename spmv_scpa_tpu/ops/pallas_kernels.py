@@ -983,12 +983,14 @@ def _make_fused_spmv_df64(*, name: str, m: int, n: int, amax: float,
         xh, xl = x2[0], x2[1]
         xmax = jnp.max(jnp.abs(xh))
         xmax = jnp.maximum(xmax, jnp.float32(1e-30))
-        # E = 2^(ceil(log2(amax*xmax)) + 1): a power-of-two bound with
-        # one guard bit (xh underestimates |x| by <= 2^-24 rel)
-        E = jnp.exp2(jnp.ceil(jnp.log2(jnp.float32(amax_c) * xmax)) + 1)
-        # TPU flushes f32 denormals: keep E*2^-56 normal or the digit
-        # residual subtraction silently breaks for absurdly tiny inputs
-        E = jnp.maximum(E, jnp.float32(2.0 ** -60))
+        # EXACT power-of-two bound with one guard bit (xh
+        # underestimates |x| by <= 2^-24 rel), built by exponent-bit
+        # surgery — NOT jnp.exp2, which XLA lowers to a polynomial
+        # (measured exp2(33.0) != 2^33): a non-power-of-two E silently
+        # de-aligns every digit grid. Also keeps E*2^-56 normal (TPU
+        # flushes f32 denormals).
+        from spmv_scpa_tpu.ops.lane_ell import pow2_bound
+        E = pow2_bound(jnp.float32(amax_c) * xmax)
         xp = jnp.zeros((2 * p_rows * BC,), dtype)
         xp = xp.at[:n].set(xh)
         xp = xp.at[p_rows * BC:p_rows * BC + n].set(xl)
@@ -1855,6 +1857,14 @@ def register_all(register, StrategySpec, Prepared):
         "rows-as-lanes) + cuda_csr.cu:145-178 (texture x ~ VMEM window) "
         "+ SURVEY section 7 hard part 3 (hybrid hub/tail split)",
         prepare=functools.partial(prepare_lane_ell_hybrid,
+                                  Prepared=Prepared)))
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_df64
+    register(StrategySpec(
+        "pallas-hybrid-df64", "LELL", "pallas",
+        "fp64-grade lane-ELL core (reference computes natively in "
+        "fp64, include/csr.h:12): Dekker TwoProd + TwoSum compensated "
+        "double-float on the rows-as-lanes slot chain",
+        prepare=functools.partial(prepare_lane_ell_df64,
                                   Prepared=Prepared)))
     from spmv_scpa_tpu.ops.chips_tail import prepare_chips_strategy
     register(StrategySpec(

@@ -285,3 +285,75 @@ def test_panel_merge_zero_scatter():
     p = _run(A, slots=4)
     assert p.meta["tail_kind"] == "chips"
     assert p.meta["tail_meta"]["panel_merge"]
+
+
+# ---------------------------------------------------------------------------
+# pallas-hybrid-df64: fp64-grade rows-as-lanes (Dekker TwoProd + TwoSum)
+# ---------------------------------------------------------------------------
+
+def _rel_err(gold, got):
+    return float(np.linalg.norm(gold - got)
+                 / max(np.linalg.norm(gold), 1e-300))
+
+
+def test_df64_hybrid_accuracy_wide_exponents():
+    """rel <= 1e-9 vs the fp64 oracle on values spanning 12 decades —
+    the regime where plain f32 (rel ~1e-7) fails the gate (same bar as
+    pallas-pell-df64, test_kernels.py)."""
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_df64
+    rng = np.random.default_rng(5)
+    A = synth.banded_csr(3000, row_nnz=24, bandwidth=256, seed=5)
+    A.as_ = A.as_ * 10.0 ** rng.uniform(-6, 6, A.nnz)
+    x = make_x(A.n) * 10.0 ** rng.uniform(-3, 3, A.n)
+    gold = spmv_oracle(A, x)
+    prep = prepare_lane_ell_df64(A, interpret=True)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    assert _rel_err(gold, got) <= 1e-9
+    # the f32 hybrid is (correctly) orders of magnitude worse here
+    f32 = np.asarray(prepare_lane_ell_hybrid(A, interpret=True).fn(x),
+                     dtype=np.float64)
+    assert _rel_err(gold, f32) > 10 * _rel_err(gold, got)
+
+
+def test_df64_hybrid_stencil_and_registry():
+    from spmv_scpa_tpu.ops.registry import get_strategy
+    A = synth.stencil_csr(2000, points=6, run_len=8, bandwidth=300,
+                          seed=6)
+    x = make_x(A.n)
+    prep = get_strategy("pallas-hybrid-df64").prepare(A, interpret=True)
+    got = np.asarray(prep.fn(x), dtype=np.float64)
+    assert _rel_err(spmv_oracle(A, x), got) <= 1e-9
+    assert prep.meta["slots"] <= 128 and prep.meta["fill"] > 0
+
+
+def test_df64_hybrid_rejects_out_of_window():
+    """Scattered matrices have no df64 tail: must raise, pointing at
+    pallas-pell-df64."""
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_df64
+    A = synth.powerlaw_csr(4000, 4000, seed=7)
+    with pytest.raises(ValueError, match="pell-df64"):
+        prepare_lane_ell_df64(A, interpret=True, loc_w=128)
+
+
+def test_df64_hybrid_rejects_mega_row():
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_df64
+    r = np.zeros(200, np.int64)
+    c = np.arange(200, dtype=np.int64)
+    A = CSR.from_coo("megarow", 256, 256, r, c, np.ones(200))
+    with pytest.raises(ValueError, match="128 slot"):
+        prepare_lane_ell_df64(A, interpret=True)
+
+
+def test_df64_hybrid_empty_and_tiny():
+    from spmv_scpa_tpu.ops.lane_ell import prepare_lane_ell_df64
+    A = CSR.from_coo("empty", 64, 64, np.zeros(0, np.int64),
+                     np.zeros(0, np.int64), np.zeros(0))
+    x = make_x(A.n)
+    got = np.asarray(prepare_lane_ell_df64(A, interpret=True).fn(x),
+                     dtype=np.float64)
+    assert np.all(got == 0.0)
+    B = synth.banded_csr(16, row_nnz=3, bandwidth=4, seed=8)
+    xb = make_x(B.n)
+    gotb = np.asarray(prepare_lane_ell_df64(B, interpret=True).fn(xb),
+                      dtype=np.float64)
+    assert _rel_err(spmv_oracle(B, xb), gotb) <= 1e-9
