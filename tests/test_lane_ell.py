@@ -357,3 +357,23 @@ def test_df64_hybrid_empty_and_tiny():
     gotb = np.asarray(prepare_lane_ell_df64(B, interpret=True).fn(xb),
                       dtype=np.float64)
     assert _rel_err(spmv_oracle(B, xb), gotb) <= 1e-9
+
+
+def test_pow2_bound_exact_powers():
+    """pow2_bound must return EXACT f32 powers of two strictly above v
+    with one guard bit — the property jnp.exp2 violates (XLA lowers
+    exp2 to a polynomial; measured exp2(33.0) != 2^33), which broke
+    the df64 digit grid."""
+    import jax
+    from spmv_scpa_tpu.ops.lane_ell import pow2_bound
+    f = jax.jit(pow2_bound)
+    for v in [1e-30, 1e-8, 0.3, 1.0, 1.5, 3.0, 2.0**33 * 0.9,
+              2.0**33, 1e12, 3.7e18]:
+        E = float(f(np.float32(v)))
+        m, e = np.frexp(np.float32(E))
+        assert m == 0.5, f"E={E} for v={v} is not a power of two"
+        assert E > v, f"E={E} not strictly above v={v}"
+        if v >= 2.0 ** -60:       # below the clamp, E pins at 2^-60
+            assert E <= 4.0 * v, f"E={E} overshoots v={v} beyond guard"
+    # the min_exp clamp keeps E*2^-56 normal for absurdly tiny inputs
+    assert float(f(np.float32(1e-38))) >= 2.0 ** -60
