@@ -206,13 +206,17 @@ class ExtPlan:
 
 
 def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
-             m: int, n: int, r_cap: int = R_PANELS) -> ExtPlan | None:
+             m: int, n: int, r_cap: int = R_PANELS,
+             allow_windowed: bool = True) -> ExtPlan | None:
     """Plan the 2-stage gather for entries flagged in ``out_mask``.
 
     Per 128-row group, the group's unique out-columns (capped at 128,
     most-referenced kept) each get one lane of the group's ext panel.
     Returns None when there is nothing to plan or the resident hot
-    region would exceed H_MAX sublanes.
+    region would exceed H_MAX sublanes. ``allow_windowed=False``
+    restricts stage-2 to the plain resident reduce — the distributed
+    builder requires it (the windowed kernel's per-shard ``r_hot``
+    would be program structure, not data; parallel/distributed.py).
     """
     oi = np.flatnonzero(out_mask)
     if not oi.size:
@@ -285,7 +289,7 @@ def plan_ext(rows: np.ndarray, cols: np.ndarray, out_mask: np.ndarray,
     r_hot = 0
     base8 = np.zeros(0, np.int32)
     H_pad = H
-    if H > H_WIN_MIN and kept_i.any():
+    if allow_windowed and H > H_WIN_MIN and kept_i.any():
         kidx = np.flatnonzero(kept_i)
         kg = pg[kidx]
         kpos = pair_pos[kidx] // BC

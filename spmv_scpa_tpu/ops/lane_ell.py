@@ -118,7 +118,11 @@ class _CoreBuild:
     __slots__ = ("vals_a", "idx_a", "used", "Q", "Qo", "QT", "S",
                  "chunk", "steps", "G_pad", "P_pad", "loc_w",
                  "n_local", "m", "trows", "tcols", "tvals",
-                 "n_demoted", "n_reloc")
+                 "n_demoted", "n_reloc",
+                 # per-shard ext-gather tables (ext_ng=0: no ext);
+                 # non-windowed stage-2 only (see core_only gate)
+                 "ext_ng", "ext_n1p", "ext_base", "ext_p1", "ext_l1",
+                 "ext_p2", "ext_l2", "ext_cov", "ext_n_out")
 
     def __init__(self, **kw):
         for k, v in kw.items():
@@ -479,6 +483,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             hot_k: int | str = "auto",
                             tail_strategy: str = "pallas-pell",
                             ext: bool | str = "auto",
+                            ext_windowed: bool = True,
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
                             ov_max: int = 8, ov_budget: int = 64,
@@ -532,7 +537,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     from spmv_scpa_tpu.ops import ext_gather
     plan = None
     if nnz and out_cols.size and ext in ("auto", True):
-        plan = ext_gather.plan_ext(rows, cols, ~is_local, m, n)
+        plan = ext_gather.plan_ext(rows, cols, ~is_local, m, n,
+                                   allow_windowed=ext_windowed)
         if plan is not None and ext == "auto":
             G_est0 = max(1, -(-m // BC))
             h_eff = plan.r_hot if plan.windowed else plan.H
@@ -812,17 +818,31 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     n_local = min(n - x_off, P_pad * BC - loc_w)
 
     if core_only:
-        # shard-packing mode: ext/hot stay off (their x gathers are
-        # global and per-shard table shapes would break SPMD)
-        assert not use_ext and Hs == 0, \
-            "core_only requires ext=False and hot_k=0"
+        # shard-packing mode: hot stays off (its gather indexes global
+        # x with per-shard tables); ext IS allowed when forced to the
+        # non-windowed stage-2 (per-shard table shapes pad to a
+        # unified SPMD shape in parallel/distributed.py — windowed
+        # mode's r_hot would be program structure, hence the gate)
+        assert Hs == 0, "core_only requires hot_k=0"
+        assert not (use_ext and ext_windowed), \
+            "core_only ext requires ext_windowed=False"
         tm = ~take if nnz else np.zeros(0, bool)
+        if use_ext:
+            p2_a, l2_a = ext_gather.build_group_tables(plan, G_pad)
+            extb = dict(ext_ng=plan.n_groups, ext_n1p=plan.n1p_blocks,
+                        ext_base=plan.base, ext_p1=plan.p1,
+                        ext_l1=plan.l1, ext_p2=p2_a, ext_l2=l2_a,
+                        ext_cov=plan.covered, ext_n_out=plan.n_out)
+        else:
+            extb = dict(ext_ng=0, ext_n1p=0, ext_base=None,
+                        ext_p1=None, ext_l1=None, ext_p2=None,
+                        ext_l2=None, ext_cov=0.0, ext_n_out=0)
         return _CoreBuild(
             vals_a=vals_a, idx_a=idx_a, used=used_t, Q=Q, Qo=Qo,
             QT=QT, S=S, chunk=chunk, steps=steps, G_pad=G_pad,
             P_pad=P_pad, loc_w=loc_w, n_local=n_local, m=m,
             trows=rows[tm], tcols=cols[tm], tvals=A.as_[tm],
-            n_demoted=n_demoted, n_reloc=n_reloc)
+            n_demoted=n_demoted, n_reloc=n_reloc, **extb)
 
     vals_d = jax.device_put(jnp.asarray(vals_a, dtype))
     idx_d = jax.device_put(jnp.asarray(idx_a))

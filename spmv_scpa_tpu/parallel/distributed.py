@@ -222,6 +222,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                                chunk: int = 24, dtype=None,
                                strip_cov: float | None = 0.985,
                                tail_kind: str = "auto",
+                               ext: bool | str = "auto",
                                interpret: bool | None = None):
     """Distributed SpMV with the lane-ELL hybrid as the local kernel —
     the round-3 flagship (151.5 GF/s = 0.90 roofline single-chip,
@@ -289,7 +290,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                              Sh.irp.dtype)])
         cores.append(LE.prepare_lane_ell_hybrid(
             Sh, dtype=dtype, chunk=chunk, loc_w=loc_w, slots=slots,
-            hot_k=0, ext=False, strip_cov=strip_cov,
+            hot_k=0, ext=ext, ext_windowed=False, strip_cov=strip_cov,
             x_off=int(bounds[d]), core_only=True))
 
     c0 = cores[0]
@@ -313,6 +314,50 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         for q, ws in enumerate(c.used):
             used_u[q].update(ws)
     used_t = tuple(tuple(sorted(u)) for u in used_u)
+
+    # ---- distributed ext panels (ops/ext_gather.py) ------------------
+    # Each shard plans its own two-stage gather for out-of-window
+    # entries (scattered regime — the single-chip amazon plan absorbs
+    # 87% of a 183k-entry tail this way); every per-shard difference
+    # is DATA once the stage shapes unify: stage-1 groups pad to the
+    # max (padding groups read x block 0 into hot rows no p2
+    # references), the stage-2 resident reduce takes the unified hot
+    # height ng_u*8, and p2/l2 are (G_pad, BC) already. Shards whose
+    # plan came back None simply have no idx lanes pointing at the ext
+    # strip — their (garbage-valued) ext panels are never selected.
+    # Windowed stage-2 is disallowed (r_hot is program structure);
+    # row-sharding shrinks per-shard hot regions like the chips tail.
+    from spmv_scpa_tpu.ops import ext_gather
+    use_ext_d = any(c.ext_ng for c in cores)
+    n_ext_args = 0
+    if use_ext_d:
+        ng_u = max(c.ext_ng for c in cores)
+        n1p_u = max(max(c.ext_n1p for c in cores), 1)
+        n1e = n1p_u * ext_gather.R_PANELS * BC
+        eb_l, ep1_l, el1_l, ep2_l, el2_l = [], [], [], [], []
+        for c in cores:
+            ng = c.ext_ng
+            b = np.zeros(ng_u, np.int32)
+            p1 = np.zeros((ng_u * 8, BC), np.int32)
+            l1 = np.zeros((ng_u * 8, BC), np.int32)
+            p2 = np.zeros((G_pad, BC), np.int32)
+            l2 = np.zeros((G_pad, BC), np.int32)
+            if ng:
+                b[:ng] = c.ext_base
+                p1[:ng * 8] = c.ext_p1
+                l1[:ng * 8] = c.ext_l1
+                p2[:] = c.ext_p2
+                l2[:] = c.ext_l2
+            eb_l.append(b)
+            ep1_l.append(p1)
+            el1_l.append(l1)
+            ep2_l.append(p2)
+            el2_l.append(l2)
+        s1e = ext_gather.make_sorted_gather(
+            ng_u, n1p_u, ext_gather.R_PANELS, dtype, interpret)
+        s2e = ext_gather.make_ranked_gather(ng_u * 8, G_pad, dtype,
+                                            interpret)
+        n_ext_args = 5
 
     # Tail route. Big tails (scattered matrices) ride per-shard
     # resident CHIPS pipelines unified into one SPMD shape
@@ -341,17 +386,22 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             tc_a[d, :k] = c.tcols
             tv_a[d, :k] = c.tvals
 
-    kernel = LE._lane_ell_kernel(chunk, QT, S, P_pad, used_t)
+    kernel = LE._lane_ell_kernel(chunk, QT, S, P_pad, used_t,
+                                 ext_w=(S if use_ext_d else -1))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if use_ext_d:                # per-group ext panels, step-aligned
+        in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, BC), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
@@ -365,19 +415,44 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                 2 * x_bytes + 2 * G_pad * BC * 4
                 + 4 * QT * chunk * BC * 6
                 + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
+                + (chunk * BC * 8 if use_ext_d else 0)
                 + (8 << 20), 110 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * QT * chunk * BC,
-            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes),
+            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes
+                               + (G_pad * BC * 4 if use_ext_d else 0)),
             transcendentals=0),
         interpret=interpret,
     )
+
+    def core_y(xpad, vals, idx, r0, eargs):
+        """Local core SpMV; with ext, the two gather stages run first
+        (stage-1 reads the GLOBAL x frame recovered from the
+        replicated xpad — pure local VPU work, no extra mesh traffic,
+        same trick as the chips stage-1 below)."""
+        xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+        if use_ext_d:
+            eb, ep1, el1, ep2, el2 = eargs
+            x1 = jnp.zeros((n1e,), dtype).at[:A.n].set(
+                jax.lax.slice(xpad, (loc_w,), (loc_w + A.n,)))
+            hot = s1e(eb[0], x1.reshape(-1, BC), ep1[0], el1[0])
+            extp = s2e(hot, ep2[0], el2[0])
+            y = call(xs.reshape(P_pad, BC), vals[0], idx[0], extp)
+        else:
+            y = call(xs.reshape(P_pad, BC), vals[0], idx[0])
+        return y.reshape(-1)[:h_rows]
 
     shard = NamedSharding(mesh, P(axis))
     r0_a = bounds[:-1].astype(np.int32).reshape(n_dev, 1)
     xw = P_pad * BC
     stack_np = [(np.stack(vals_l), dtype), (np.stack(idx_l), jnp.int16),
                 (r0_a, jnp.int32)]
+    if use_ext_d:
+        stack_np += [(np.stack(eb_l), jnp.int32),
+                     (np.stack(ep1_l), jnp.int32),
+                     (np.stack(el1_l), jnp.int32),
+                     (np.stack(ep2_l), jnp.int32),
+                     (np.stack(el2_l), jnp.int32)]
 
     if use_chips:
         from spmv_scpa_tpu.ops import chips_tail as CT
@@ -421,11 +496,11 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                 (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
         n_loc = A.n                  # global x span inside xpad
 
-        def local(xpad, vals, idx, r0, cb, cp1, cl1, cp2, cl2,
-                  cv, crbl, cwin, *mt):
-            xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
-            y = call(xs.reshape(P_pad, BC), vals[0],
-                     idx[0]).reshape(-1)[:h_rows]
+        def local(xpad, vals, idx, r0, *rest):
+            eargs, targs = rest[:n_ext_args], rest[n_ext_args:]
+            (cb, cp1, cl1, cp2, cl2, cv, crbl, cwin), mt = \
+                targs[:8], targs[8:]
+            y = core_y(xpad, vals, idx, r0, eargs)
             # stage-1 x: global frame, recovered from the replicated
             # xpad locally (pure VPU work — shipping a second
             # full-x-sized operand through the mesh would double the
@@ -441,10 +516,9 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         stack_np += [(seg_a, jnp.int32), (tc_a, jnp.int32),
                      (tv_a, dtype)]
 
-        def local(xpad, vals, idx, r0, seg, tc, tv):
-            xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
-            y = call(xs.reshape(P_pad, BC), vals[0],
-                     idx[0]).reshape(-1)[:h_rows]
+        def local(xpad, vals, idx, r0, *rest):
+            eargs, (seg, tc, tv) = rest[:n_ext_args], rest[n_ext_args:]
+            y = core_y(xpad, vals, idx, r0, eargs)
             yt = jax.ops.segment_sum(
                 tv[0] * jnp.take(xpad, tc[0] + loc_w), seg[0],
                 num_segments=h_rows + 1, indices_are_sorted=True)
@@ -487,6 +561,9 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                 "tail_kind": "chips" if use_chips else "xla",
                 "panel_merge": bool(use_chips and use_merge),
                 "strips": S,
+                "ext": use_ext_d,
+                "ext_groups": (ng_u if use_ext_d else 0),
+                "ext_n_out": int(sum(c.ext_n_out for c in cores)),
                 "demoted": int(sum(c.n_demoted for c in cores)),
                 "relocated": int(sum(c.n_reloc for c in cores))}
     return out

@@ -225,3 +225,53 @@ def test_row_sharded_hybrid_chips_forced_unplannable_raises():
     with _pytest.raises(ValueError, match="tail_kind='chips'"):
         prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(2),
                                    interpret=True, tail_kind="chips")
+
+
+def test_row_sharded_hybrid_ext_panels():
+    """Scattered out-of-window entries ride per-shard ext gather
+    pipelines (ops/ext_gather.py) unified into one SPMD program —
+    the single-chip ext absorption carried into the distributed form
+    (round-2 VERDICT item 3 extended to the hybrid flagship): without
+    it, an amazon-class tail (3-5 nnz scattered rows) lands in the
+    heavily padded chips pipeline."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.amazon_csr(40_000, seed=11)
+    x = make_x(A.n)
+    gold = spmv_oracle(A, x)
+    tails = {}
+    for n_dev in (1, 4):
+        dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(n_dev),
+                                          interpret=True)
+        validate_result(gold, np.asarray(dist.fn(x)),
+                        what=f"dist-hybrid-ext n={n_dev}")
+        assert dist.meta["ext"] and dist.meta["ext_n_out"] > 0
+        tails[n_dev] = dist.meta["tail_nnz"]
+    # ext absorbed the bulk of the out-of-window entries
+    off = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(4), ext=False,
+                                     interpret=True)
+    validate_result(gold, np.asarray(off.fn(x)),
+                    what="dist-hybrid ext=False")
+    assert not off.meta["ext"]
+    assert tails[4] < 0.25 * off.meta["tail_nnz"]
+
+
+def test_row_sharded_hybrid_ext_mixed_shards():
+    """One shard purely banded (plan_ext returns None -> zero tables),
+    others scattered: the no-ext shard's garbage-valued ext panels are
+    never selected (its idx lanes never encode the ext strip)."""
+    from spmv_scpa_tpu.formats.csr import CSR
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    B = synth.banded_csr(8000, row_nnz=8, bandwidth=64, seed=31)
+    S = synth.amazon_csr(8000, seed=32)
+    rows = np.concatenate([B.row_ids(), S.row_ids() + B.m])
+    cols = np.concatenate([B.ja, S.ja % B.n])
+    vals = np.concatenate([B.as_, S.as_])
+    A = CSR.from_coo("mixed", B.m + S.m, B.n, rows, cols, vals)
+    x = make_x(A.n)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(2),
+                                      interpret=True)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what="dist-hybrid mixed-ext")
+    assert dist.meta["ext"]
