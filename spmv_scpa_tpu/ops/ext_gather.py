@@ -114,6 +114,10 @@ def make_ranked_gather(H: int, G_pad: int, dtype, interpret: bool,
     hot-region sublane / lane.
     """
 
+    assert G_pad % EB == 0, \
+        f"ranked gather needs EB({EB})-aligned G_pad, got {G_pad} " \
+        "(trailing output groups would be uninitialized VMEM)"
+
     def kernel(hot_ref, p_ref, l_ref, o_ref):
         hb = hot_ref[...]
         o_ref[...] = jnp.stack(
