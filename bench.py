@@ -41,7 +41,29 @@ CANDIDATES = [
 ]
 
 
+def _tunnel_up(port: int = 8093, timeout: float = 5.0) -> bool:
+    """The remote-TPU relay must be listening before any jax import:
+    with the tunnel down, backend registration hangs the interpreter
+    (see .claude/skills/verify/SKILL.md). Probe the port first so a
+    driver run fails fast and honestly instead of stalling."""
+    import socket
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> int:
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _tunnel_up():
+        print(json.dumps({
+            "metric": "spmv_gflops_ml_laplace_like", "value": 0.0,
+            "unit": "GFLOP/s", "vs_baseline": 0.0,
+            "error": "TPU tunnel down (port 8093 unreachable); "
+                     "see docs/PERF_LOG.md for the last measured "
+                     "numbers (151.5 GF/s, 0.90 of roofline)"}))
+        return 1
+
     import numpy as np
 
     from spmv_scpa_tpu import testing as synth
