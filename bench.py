@@ -33,6 +33,11 @@ REFERENCE_BEST_GFLOPS = 62.5
 # the stream roofline, docs/PERF_LOG.md round 3) plus the round-2
 # fused-PELL configs as fallbacks.
 CANDIDATES = [
+    # idx8: int8 index planes for <=2-strip planes (slot bytes 6 -> 5,
+    # ~1.16x fewer core bytes on the flagship). First on-chip Mosaic
+    # compile of the int8 layout happens HERE — the per-candidate
+    # try/except falls back to the plain hybrid if it doesn't compile.
+    ("pallas-hybrid", {"idx8": True}),
     ("pallas-hybrid", {}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 48,
                      "scheme": "fused", "precision_passes": 2,

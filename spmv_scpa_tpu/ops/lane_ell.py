@@ -130,7 +130,8 @@ class _CoreBuild:
 
 
 def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
-                     used: tuple, diag: str = "", ext_w: int = -1):
+                     used: tuple, diag: str = "", ext_w: int = -1,
+                     n8: int = 0):
     """One grid step = ``chunk`` row-groups of 128 rows.
 
     ``vals``/``idx`` blocks are plane-major: rows ``q*chunk + c``.
@@ -140,10 +141,25 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
     the resident hot panels at ``hp0``. ``used[q]`` is the plane's
     static strip set. y rows are direct: out block = (chunk, 128) at
     step index.
+
+    ``n8 > 0`` splits the idx stream by byte width: planes ``< n8``
+    (whose strip set has <= 2 members) ride an int8 plane — bit 7 is
+    the POSITION of the strip within ``used[q]``, bits 0-6 the lane —
+    cutting those planes' slot bytes 6 -> 5 (the idx stream is pure
+    HBM traffic; the flagship's planes are 84% <= 2 strips). Planes
+    ``>= n8`` keep the absolute int16 encoding.
     """
     has_ext = ext_w >= 0
 
-    def kernel(x_ref, vals_ref, idx_ref, *refs):
+    def kernel(x_ref, vals_ref, *refs):
+        if n8 > 0 and n8 < Q:
+            idx8_ref, idx16_ref, *refs = refs
+        elif n8 > 0:
+            idx8_ref, *refs = refs
+            idx16_ref = None
+        else:
+            idx16_ref, *refs = refs
+            idx8_ref = None
         if has_ext:
             ext_ref, o_ref, xw_ref = refs
         else:
@@ -153,10 +169,16 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
         acc = None
         for q in range(Q):
             vq = vals_ref[q * chunk:(q + 1) * chunk, :]
-            iq = idx_ref[q * chunk:(q + 1) * chunk, :].astype(jnp.int32)
+            if q < n8:
+                iq = idx8_ref[q * chunk:(q + 1) * chunk, :] \
+                    .astype(jnp.int32) & 255          # undo sign ext
+            else:
+                q16 = q - n8
+                iq = idx16_ref[q16 * chunk:(q16 + 1) * chunk, :] \
+                    .astype(jnp.int32)
             lq = jax.lax.bitwise_and(iq, 127)
             xv = None
-            for w in used[q]:
+            for k, w in enumerate(used[q]):
                 if w < S:        # sliding local strip
                     xs = xw_ref[w:w + chunk, :]
                 elif has_ext and w == ext_w:
@@ -167,11 +189,15 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
                         x_ref[hp0 + (w - S), :][None, :], (chunk, BC))
                 gw = xs if "nogather" in diag \
                     else jnp.take_along_axis(xs, lq, axis=1)
+                # strip code: positional bit for int8 planes, absolute
+                # window id for int16 planes
+                code = k if q < n8 else w
                 if xv is None:
                     xv = gw
                 elif len(used[q]) > 1 and "nosel" not in diag:
                     xv = jnp.where(
-                        jax.lax.shift_right_logical(iq, 7) == w, gw, xv)
+                        jax.lax.shift_right_logical(iq, 7) == code,
+                        gw, xv)
             if xv is None:       # plane entirely padding
                 continue
             t = vq * xv
@@ -484,6 +510,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             tail_strategy: str = "pallas-pell",
                             ext: bool | str = "auto",
                             ext_windowed: bool = True,
+                            idx8: bool = False,
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
                             ov_max: int = 8, ov_budget: int = 64,
@@ -790,9 +817,34 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     steps = G_pad // chunk
 
     # ---- pack plane-major arrays ------------------------------------
+    # Per-plane static strip sets come first: the idx8 partition
+    # reorders planes so <=2-strip ones lead (their idx rides an int8
+    # plane — bit 7 = strip POSITION in the set, bits 0-6 = lane —
+    # cutting slot bytes 6 -> 5; flagship: 84% of planes qualify).
+    sets: list[tuple] = [() for _ in range(QT)]
+    if nnz:
+        pq = plane[take]
+        pw = (enc_all[take] // BC).astype(np.int64)
+        qs = np.unique(np.stack([pq, pw]), axis=1)
+        acc_sets: list[set] = [set() for _ in range(QT)]
+        for q, w in qs.T:
+            acc_sets[int(q)].add(int(w))
+        sets = [tuple(sorted(u)) for u in acc_sets]
+    n8 = 0
+    if idx8 and not core_only and nnz:
+        order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
+        remap = np.zeros(QT, np.int64)
+        for newq, oldq in enumerate(order):
+            remap[oldq] = newq
+        plane[take] = remap[plane[take]]
+        sets = [sets[q] for q in order]
+        n8 = sum(len(s) <= 2 for s in sets)
+    used_t = tuple(sets)
+    n16 = QT - n8
+
     vals_a = np.zeros((steps * QT * chunk, BC), np.float32)
-    idx_a = np.zeros((steps * QT * chunk, BC), np.int16)
-    used: list[set] = [set() for _ in range(QT)]
+    idx_a = np.zeros((steps * n16 * chunk, BC), np.int16)
+    idx8_a = np.zeros((steps * n8 * chunk, BC), np.int8)
     if nnz:
         tg = grp[take]
         tq = plane[take]
@@ -800,12 +852,22 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         enc = enc_all[take]
         arow = (tg // chunk) * (QT * chunk) + tq * chunk + tg % chunk
         vals_a[arow, lane] = A.as_[take]
-        idx_a[arow, lane] = enc.astype(np.int16)
-        strips = (enc // BC).astype(np.int64)
-        qs = np.unique(np.stack([tq, strips]), axis=1)
-        for q, w in qs.T:
-            used[int(q)].add(int(w))
-    used_t = tuple(tuple(sorted(u)) for u in used)
+        m16 = tq >= n8
+        if m16.any():
+            arow16 = ((tg[m16] // chunk) * (n16 * chunk)
+                      + (tq[m16] - n8) * chunk + tg[m16] % chunk)
+            idx_a[arow16, lane[m16]] = enc[m16].astype(np.int16)
+        if n8:
+            m8 = ~m16
+            second = np.array(
+                [s[1] if len(s) == 2 else -1 for s in sets[:n8]],
+                np.int64)
+            pos = ((enc[m8] // BC) == second[tq[m8]]).astype(np.int64)
+            code8 = pos * 128 + enc[m8] % BC
+            arow8 = ((tg[m8] // chunk) * (n8 * chunk)
+                     + tq[m8] * chunk + tg[m8] % chunk)
+            idx8_a[arow8, lane[m8]] = \
+                code8.astype(np.uint8).view(np.int8)
 
     # resident x: loc_w left pad + local span + window slack, then hot
     P_pad = G_pad + S            # window read for the last step fits
@@ -845,16 +907,27 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             n_demoted=n_demoted, n_reloc=n_reloc, **extb)
 
     vals_d = jax.device_put(jnp.asarray(vals_a, dtype))
-    idx_d = jax.device_put(jnp.asarray(idx_a))
+    idx_ds = []
+    if n8:
+        idx_ds.append(jax.device_put(jnp.asarray(idx8_a)))
+    if n16 or not n8:            # n8==QT: idx16 plane absent entirely
+        idx_ds.append(jax.device_put(jnp.asarray(idx_a)))
+    idx_ds = tuple(idx_ds)
     hot_d = jax.device_put(jnp.asarray(hot_idx, jnp.int32))
 
+    slot_b = 4 * QT + 1 * n8 + 2 * n16     # f32 vals + split idx
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),              # x resident
         pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if n8:
+        in_specs.append(pl.BlockSpec((n8 * chunk, BC), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if n16 or not n8:
+        in_specs.append(pl.BlockSpec((max(n16, QT if not n8 else 0)
+                                      * chunk, BC), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
     if use_ext:                  # per-group ext panels, step-aligned
         in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
@@ -867,7 +940,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
     )
     call = pl.pallas_call(
-        _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag, ext_w),
+        _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag, ext_w,
+                         n8=n8),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -878,13 +952,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             # estimate), so budget both in full plus slack.
             vmem_limit_bytes=min(
                 2 * x_bytes + 2 * G_pad * BC * 4
-                + 4 * QT * chunk * BC * 6
+                + 4 * chunk * BC * slot_b
                 + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
                 + (chunk * BC * 8 if use_ext else 0)
                 + (8 << 20), 110 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * QT * chunk * BC,
-            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes
+            bytes_accessed=int(steps * chunk * BC * slot_b + x_bytes
                                + (G_pad * BC * 4 if use_ext else 0)),
             transcendentals=0),
         interpret=interpret,
@@ -915,8 +989,11 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         n1 = plan.n1p_blocks * plan.R * BC
         pad_h = plan.H_pad - plan.H
 
+        NI = len(idx_ds)         # idx stream count (1, or 2 with idx8)
         if ext_windowed:
-            def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2, b8):
+            def ell_raw(x, vals, *rest):
+                idxs, (hot_i, base, p1, l1, p2, l2, b8) = \
+                    rest[:NI], rest[NI:]
                 xf = x.astype(dtype)
                 xp = jnp.zeros((P_pad * BC,), dtype)
                 xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
@@ -927,36 +1004,40 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 elif pad_h < 0:
                     hot = hot[:plan.H_pad]
                 extp = s2_call(b8, hot, p2, l2)
-                y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
+                y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs, extp)
                 return y.reshape(-1)[:m]
 
-            ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
+            ell_args = (vals_d, *idx_ds, hot_d, base_d, p1_d, l1_d,
                         p2_d, l2_d, b8_d)
         else:
-            def ell_raw(x, vals, idx, hot_i, base, p1, l1, p2, l2):
+            def ell_raw(x, vals, *rest):
+                idxs, (hot_i, base, p1, l1, p2, l2) = \
+                    rest[:NI], rest[NI:]
                 xf = x.astype(dtype)
                 xp = jnp.zeros((P_pad * BC,), dtype)
                 xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
                 x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
                 hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
                 extp = s2_call(hot, p2, l2)
-                y = call(xp.reshape(P_pad + Hs, BC), vals, idx, extp)
+                y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs, extp)
                 return y.reshape(-1)[:m]
 
-            ell_args = (vals_d, idx_d, hot_d, base_d, p1_d, l1_d,
+            ell_args = (vals_d, *idx_ds, hot_d, base_d, p1_d, l1_d,
                         p2_d, l2_d)
     else:
-        def ell_raw(x, vals, idx, hot_i):
+        NI = len(idx_ds)
+        def ell_raw(x, vals, *rest):
+            idxs, (hot_i,) = rest[:NI], rest[NI:]
             xf = x.astype(dtype)
             xp = jnp.zeros((P_pad * BC,), dtype)
             xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
             if Hs:
                 xh = jnp.take(xf, hot_i, mode="fill", fill_value=0)
                 xp = jnp.concatenate([xp, xh.astype(dtype)])
-            y = call(xp.reshape(P_pad + Hs, BC), vals, idx)
+            y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs)
             return y.reshape(-1)[:m]
 
-        ell_args = (vals_d, idx_d, hot_d)
+        ell_args = (vals_d, *idx_ds, hot_d)
 
     # ---- CSR tail ----------------------------------------------------
     # Tiny tails (demotion remainders, a few k nnz) CANNOT go through a
@@ -1078,13 +1159,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     else:
         raw, args = ell_raw, ell_args
 
-    hbm = steps * QT * chunk * BC * 6 + tail_hbm
+    hbm = steps * chunk * BC * slot_b + tail_hbm
     n_strip_ops = sum(len(u) for u in used_t)
     return Prepared(
         "pallas-hybrid", A.name, bind(raw, args), on_device=True,
         nnz=nnz, raw=raw, args=args, hbm_bytes=int(hbm),
         meta={"loc_w": loc_w, "slots": Q, "ov_slots": Qo,
-              "hot_k": hot_k,
+              "hot_k": hot_k, "idx8_planes": n8,
               "ext": use_ext,
               "ext_h": plan.H if use_ext else 0,
               "ext_windowed": bool(use_ext and plan.windowed),
