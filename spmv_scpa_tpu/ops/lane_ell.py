@@ -839,6 +839,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         plane[take] = remap[plane[take]]
         sets = [sets[q] for q in order]
         n8 = sum(len(s) <= 2 for s in sets)
+        # Mosaic int8 sublane tiling is 32: the int8 block height
+        # (n8*chunk) must be 32-aligned (same guard as the PELL lcol
+        # planes, ops/pallas_kernels.py:341-346). Round n8 DOWN to the
+        # alignment step — the displaced planes just stay int16.
+        import math
+        step8 = 32 // math.gcd(chunk, 32)
+        n8 = (n8 // step8) * step8
     used_t = tuple(sets)
     n16 = QT - n8
 
