@@ -156,6 +156,9 @@ def test_hybrid_fuzz_mixed_structure(seed):
     gold = spmv_oracle(A, x)
     p = get_strategy("pallas-hybrid").prepare(A, interpret=True)
     validate_result(gold, np.asarray(p.fn(x)), what=f"fuzz{seed}")
+    p8 = get_strategy("pallas-hybrid").prepare(A, interpret=True,
+                                               idx8=True)
+    validate_result(gold, np.asarray(p8.fn(x)), what=f"fuzz{seed}-idx8")
 
     cpus = jax.devices("cpu")
     d = prepare_row_sharded_hybrid(A, mesh=make_mesh(devices=cpus[:4]),
