@@ -223,6 +223,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                                strip_cov: float | None = 0.985,
                                tail_kind: str = "auto",
                                ext: bool | str = "auto",
+                               idx8: bool = False,
                                interpret: bool | None = None):
     """Distributed SpMV with the lane-ELL hybrid as the local kernel —
     the round-3 flagship (151.5 GF/s = 0.90 roofline single-chip,
@@ -309,11 +310,44 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             padq = ((0, 0), (0, QT - c.QT), (0, 0), (0, 0))
             v = np.pad(v, padq)
             ix = np.pad(ix, padq)
-        vals_l.append(v.reshape(-1, BC))
-        idx_l.append(ix.reshape(-1, BC))
+        vals_l.append(v)
+        idx_l.append(ix)
         for q, ws in enumerate(c.used):
             used_u[q].update(ws)
-    used_t = tuple(tuple(sorted(u)) for u in used_u)
+    sets = [tuple(sorted(u)) for u in used_u]
+
+    # ---- idx8 plane partition (ops/lane_ell.py idx8, distributed) ----
+    # Same byte cut as single-chip, applied on the UNION strip sets
+    # (the kernel is one SPMD program): planes whose union has <= 2
+    # strips lead and ride an int8 stream with POSITIONAL strip bits;
+    # cores pack absolute int16, translated here per shard. Padding
+    # zeros translate safely (strip 0 is position 0 when present).
+    n8 = 0
+    if idx8:
+        import math
+        order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
+        sets = [sets[q] for q in order]
+        n8 = sum(len(s) <= 2 for s in sets)
+        step8 = 32 // math.gcd(chunk, 32)
+        n8 = (n8 // step8) * step8
+        vals_l = [v[:, order] for v in vals_l]
+        idx_l = [ix[:, order] for ix in idx_l]
+    used_t = tuple(sets)
+    n16 = QT - n8
+    idx8_l, idx16_l = [], []
+    if n8:
+        second = np.array([s[1] if len(s) == 2 else -1
+                           for s in sets[:n8]], np.int64)
+        for ix in idx_l:
+            i8 = ix[:, :n8].astype(np.int64)
+            pos = ((i8 >> 7) == second[None, :, None, None])
+            code = np.where(pos, 128 + (i8 & 127), i8 & 127)
+            idx8_l.append(code.astype(np.uint8).view(np.int8)
+                          .reshape(-1, BC))
+            idx16_l.append(ix[:, n8:].reshape(-1, BC))
+    else:
+        idx16_l = [ix.reshape(-1, BC) for ix in idx_l]
+    vals_l = [v.reshape(-1, BC) for v in vals_l]
 
     # ---- distributed ext panels (ops/ext_gather.py) ------------------
     # Each shard plans its own two-stage gather for out-of-window
@@ -387,14 +421,23 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             tv_a[d, :k] = c.tvals
 
     kernel = LE._lane_ell_kernel(chunk, QT, S, P_pad, used_t,
-                                 ext_w=(S if use_ext_d else -1))
+                                 ext_w=(S if use_ext_d else -1),
+                                 n8=n8)
+    slot_b = 4 * QT + 1 * n8 + 2 * n16
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if n8:
+        in_specs.append(pl.BlockSpec((n8 * chunk, BC),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if n16 or not n8:
+        in_specs.append(pl.BlockSpec(((n16 if n8 else QT) * chunk, BC),
+                                     lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    NI = (1 if n8 else 0) + (1 if (n16 or not n8) else 0)
     if use_ext_d:                # per-group ext panels, step-aligned
         in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
@@ -425,28 +468,33 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         interpret=interpret,
     )
 
-    def core_y(xpad, vals, idx, r0, eargs):
+    def core_y(xpad, vals, idxs, r0, eargs):
         """Local core SpMV; with ext, the two gather stages run first
         (stage-1 reads the GLOBAL x frame recovered from the
         replicated xpad — pure local VPU work, no extra mesh traffic,
         same trick as the chips stage-1 below)."""
         xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
+        iblk = tuple(i[0] for i in idxs)
         if use_ext_d:
             eb, ep1, el1, ep2, el2 = eargs
             x1 = jnp.zeros((n1e,), dtype).at[:A.n].set(
                 jax.lax.slice(xpad, (loc_w,), (loc_w + A.n,)))
             hot = s1e(eb[0], x1.reshape(-1, BC), ep1[0], el1[0])
             extp = s2e(hot, ep2[0], el2[0])
-            y = call(xs.reshape(P_pad, BC), vals[0], idx[0], extp)
+            y = call(xs.reshape(P_pad, BC), vals[0], *iblk, extp)
         else:
-            y = call(xs.reshape(P_pad, BC), vals[0], idx[0])
+            y = call(xs.reshape(P_pad, BC), vals[0], *iblk)
         return y.reshape(-1)[:h_rows]
 
     shard = NamedSharding(mesh, P(axis))
     r0_a = bounds[:-1].astype(np.int32).reshape(n_dev, 1)
     xw = P_pad * BC
-    stack_np = [(np.stack(vals_l), dtype), (np.stack(idx_l), jnp.int16),
-                (r0_a, jnp.int32)]
+    stack_np = [(np.stack(vals_l), dtype)]
+    if n8:
+        stack_np.append((np.stack(idx8_l), jnp.int8))
+    if n16 or not n8:
+        stack_np.append((np.stack(idx16_l), jnp.int16))
+    stack_np.append((r0_a, jnp.int32))
     if use_ext_d:
         stack_np += [(np.stack(eb_l), jnp.int32),
                      (np.stack(ep1_l), jnp.int32),
@@ -496,11 +544,13 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                 (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
         n_loc = A.n                  # global x span inside xpad
 
-        def local(xpad, vals, idx, r0, *rest):
+        def local(xpad, vals, *rest):
+            idxs, r0 = rest[:NI], rest[NI]
+            rest = rest[NI + 1:]
             eargs, targs = rest[:n_ext_args], rest[n_ext_args:]
             (cb, cp1, cl1, cp2, cl2, cv, crbl, cwin), mt = \
                 targs[:8], targs[8:]
-            y = core_y(xpad, vals, idx, r0, eargs)
+            y = core_y(xpad, vals, idxs, r0, eargs)
             # stage-1 x: global frame, recovered from the replicated
             # xpad locally (pure VPU work — shipping a second
             # full-x-sized operand through the mesh would double the
@@ -516,9 +566,11 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         stack_np += [(seg_a, jnp.int32), (tc_a, jnp.int32),
                      (tv_a, dtype)]
 
-        def local(xpad, vals, idx, r0, *rest):
+        def local(xpad, vals, *rest):
+            idxs, r0 = rest[:NI], rest[NI]
+            rest = rest[NI + 1:]
             eargs, (seg, tc, tv) = rest[:n_ext_args], rest[n_ext_args:]
-            y = core_y(xpad, vals, idx, r0, eargs)
+            y = core_y(xpad, vals, idxs, r0, eargs)
             yt = jax.ops.segment_sum(
                 tv[0] * jnp.take(xpad, tc[0] + loc_w), seg[0],
                 num_segments=h_rows + 1, indices_are_sorted=True)
@@ -560,7 +612,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                 "tail_nnz": tail_nnz_tot,
                 "tail_kind": "chips" if use_chips else "xla",
                 "panel_merge": bool(use_chips and use_merge),
-                "strips": S,
+                "strips": S, "idx8_planes": n8,
                 "ext": use_ext_d,
                 "ext_groups": (ng_u if use_ext_d else 0),
                 "ext_n_out": int(sum(c.ext_n_out for c in cores)),

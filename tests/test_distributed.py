@@ -275,3 +275,22 @@ def test_row_sharded_hybrid_ext_mixed_shards():
     validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
                     what="dist-hybrid mixed-ext")
     assert dist.meta["ext"]
+
+
+def test_row_sharded_hybrid_idx8():
+    """idx8 in the distributed core: the int8/int16 partition runs on
+    the UNION strip sets (one SPMD program); per-shard absolute int16
+    codes translate to positional int8 after plane reordering. Keeps
+    mesh=1 packing aligned with the single-chip idx8 flagship."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    for A in (synth.banded_csr(6000, row_nnz=12, bandwidth=100, seed=2),
+              synth.amazon_csr(40_000, seed=11)):
+        x = make_x(A.n)
+        gold = spmv_oracle(A, x)
+        for n_dev in (1, 4):
+            dist = prepare_row_sharded_hybrid(
+                A, mesh=_cpu_mesh(n_dev), idx8=True, interpret=True)
+            validate_result(gold, np.asarray(dist.fn(x)),
+                            what=f"dist-idx8 {A.name} n={n_dev}")
+        assert dist.meta["idx8_planes"] > 0
