@@ -116,6 +116,7 @@ def main() -> int:
         rep = roofline(prep, r.duration_ms, r.gflops,
                        x_bytes=A.n * 4, y_bytes=A.m * 4)
         roof = {"vs_roofline": round(rep.fraction, 4),
+                "vs_ideal_roofline": round(rep.fraction_ideal, 4),
                 "stream_bw_gbs": round(rep.stream_bw_gbs, 1),
                 "t_roofline_ms": round(rep.t_min_ms, 4)}
     except Exception as e:  # roofline probe must never sink the bench

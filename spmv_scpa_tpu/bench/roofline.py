@@ -89,16 +89,29 @@ class RooflineReport:
     fraction: float
     gflops: float
     gflops_at_roofline: float
+    fraction_ideal: float = 0.0   # vs the format-free 6 B/nnz minimum
 
 
 def roofline(prep, duration_ms: float, gflops: float,
              x_bytes: int = 0, y_bytes: int = 0) -> RooflineReport:
-    """Roofline report for a measured Prepared strategy run."""
+    """Roofline report for a measured Prepared strategy run.
+
+    ``fraction`` is against the kernel's ACTUAL streamed bytes
+    (``prep.hbm_bytes`` — how close the kernel runs to the stream BW
+    on what it moves); ``fraction_ideal`` is against the format-free
+    minimum (6 B/nnz: f32 value + panel-local int16 index, plus one x
+    and y pass) — the honest ceiling a zero-padding layout could
+    reach. actual/ideal ratio = layout padding overhead.
+    """
     bw = measure_stream_bw()
     total = prep.hbm_bytes + x_bytes + y_bytes
     t_min_ms = total / (bw * 1e9) * 1e3
     frac = t_min_ms / duration_ms if duration_ms > 0 else 0.0
+    ideal = prep.nnz * 6 + x_bytes + y_bytes
+    t_ideal_ms = ideal / (bw * 1e9) * 1e3
     return RooflineReport(
         stream_bw_gbs=bw, bytes_streamed=total, t_min_ms=t_min_ms,
         t_measured_ms=duration_ms, fraction=frac, gflops=gflops,
-        gflops_at_roofline=gflops / frac if frac > 0 else 0.0)
+        gflops_at_roofline=gflops / frac if frac > 0 else 0.0,
+        fraction_ideal=(t_ideal_ms / duration_ms
+                        if duration_ms > 0 else 0.0))
