@@ -107,7 +107,7 @@ def roofline(prep, duration_ms: float, gflops: float,
     total = prep.hbm_bytes + x_bytes + y_bytes
     t_min_ms = total / (bw * 1e9) * 1e3
     frac = t_min_ms / duration_ms if duration_ms > 0 else 0.0
-    ideal = prep.nnz * 6 + x_bytes + y_bytes
+    ideal = getattr(prep, "nnz", 0) * 6 + x_bytes + y_bytes
     t_ideal_ms = ideal / (bw * 1e9) * 1e3
     return RooflineReport(
         stream_bw_gbs=bw, bytes_streamed=total, t_min_ms=t_min_ms,

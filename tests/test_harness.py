@@ -58,6 +58,7 @@ def test_roofline_report_math():
 
     class P:
         hbm_bytes = 1000_000_000  # 1 GB
+        nnz = 83_333_333          # ideal 6 B/nnz ~ 0.5 GB
 
     R._STREAM_CACHE["bw"] = 500.0  # pretend 500 GB/s, skip the probe
     try:
@@ -65,5 +66,7 @@ def test_roofline_report_math():
         assert abs(rep.t_min_ms - 2.0) < 1e-9
         assert abs(rep.fraction - 0.5) < 1e-9
         assert abs(rep.gflops_at_roofline - 20.0) < 1e-9
+        # ideal = nnz*6 B at 500 GB/s = ~1 ms -> fraction_ideal ~0.25
+        assert abs(rep.fraction_ideal - 0.2499999) < 1e-4
     finally:
         R._STREAM_CACHE.clear()
