@@ -102,7 +102,12 @@ def pow2_bound(v, min_exp: int = -60):
 
 _LOC_CHOICES = (128, 256, 512, 1024, 2048, 4096)
 _HOT_CHOICES = (128, 256, 512, 1024, 2048, 4096, 8192)
-_Q_CHOICES = (1, 2, 4, 8, 16, 24, 32, 48, 64, 80, 96, 128)
+# slot-count candidates for the byte-cost model: fine (8-step) past 8
+# so near-uniform row lengths land exactly (the stencil flagship has
+# 72-nnz rows; a 64->80->96 grid forced Q=80 = 8 always-empty planes
+# streamed per step — ~8% of the core's HBM bytes for nothing)
+_Q_CHOICES = (1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88,
+              96, 104, 112, 120, 128)
 
 
 def _auto_interpret() -> bool:
