@@ -79,8 +79,9 @@ X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
 
 
 def pow2_bound(v, min_exp: int = -60):
-    """Smallest EXACT f32 power of two > ``v`` (v > 0), by exponent-bit
-    surgery: 2^(floor(log2 v) + 1), clamped to 2^min_exp.
+    """EXACT f32 power-of-two bound for ``v`` (v > 0), by exponent-bit
+    surgery: 2^(floor(log2 v) + 2) — strictly above v with one guard
+    bit (in (v, 4v]) — clamped below at 2^min_exp.
 
     ``jnp.exp2`` must NOT be used for this: XLA CPU lowers it to a
     polynomial approximation — measured exp2(33.0) = 8589939712 !=
@@ -132,6 +133,40 @@ class _CoreBuild:
     def __init__(self, **kw):
         for k, v in kw.items():
             setattr(self, k, v)
+
+
+def idx8_partition(sets: list, chunk: int):
+    """Plane partition for the int8 idx stream (shared by the
+    single-chip packer and the distributed builder — one encoding
+    rule, one alignment constraint).
+
+    Orders planes so <=2-strip ones lead. ``n8`` is rounded down so
+    the int8 block height (n8*chunk) is 32-aligned (Mosaic int8
+    sublane tiling — same guard as the PELL lcol planes,
+    ops/pallas_kernels.py:341-346). ``second`` maps each int8 plane to
+    its set's second strip (-1 when single-strip) for the positional
+    bit-7 encoding. Returns (order, reordered_sets, n8, second).
+    """
+    import math
+    QT = len(sets)
+    order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
+    sets2 = [sets[q] for q in order]
+    n8 = sum(len(s) <= 2 for s in sets2)
+    step8 = 32 // math.gcd(chunk, 32)
+    n8 = (n8 // step8) * step8
+    second = np.array([s[1] if len(s) == 2 else -1
+                       for s in sets2[:n8]], np.int64)
+    return order, sets2, n8, second
+
+
+def idx8_encode(enc: np.ndarray, second_b: np.ndarray) -> np.ndarray:
+    """Absolute (strip<<7 | lane) int codes -> positional int8 codes:
+    bit 7 = (strip == the plane's second strip), bits 0-6 = lane.
+    ``second_b`` must broadcast against ``enc``."""
+    enc = enc.astype(np.int64)
+    pos = (enc >> 7) == second_b
+    return (np.where(pos, 128 + (enc & 127), enc & 127)
+            .astype(np.uint8).view(np.int8))
 
 
 def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
@@ -836,21 +871,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             acc_sets[int(q)].add(int(w))
         sets = [tuple(sorted(u)) for u in acc_sets]
     n8 = 0
+    second8 = np.zeros(0, np.int64)
     if idx8 and not core_only and nnz:
-        order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
+        order, sets, n8, second8 = idx8_partition(sets, chunk)
         remap = np.zeros(QT, np.int64)
         for newq, oldq in enumerate(order):
             remap[oldq] = newq
         plane[take] = remap[plane[take]]
-        sets = [sets[q] for q in order]
-        n8 = sum(len(s) <= 2 for s in sets)
-        # Mosaic int8 sublane tiling is 32: the int8 block height
-        # (n8*chunk) must be 32-aligned (same guard as the PELL lcol
-        # planes, ops/pallas_kernels.py:341-346). Round n8 DOWN to the
-        # alignment step — the displaced planes just stay int16.
-        import math
-        step8 = 32 // math.gcd(chunk, 32)
-        n8 = (n8 // step8) * step8
     used_t = tuple(sets)
     n16 = QT - n8
 
@@ -871,15 +898,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             idx_a[arow16, lane[m16]] = enc[m16].astype(np.int16)
         if n8:
             m8 = ~m16
-            second = np.array(
-                [s[1] if len(s) == 2 else -1 for s in sets[:n8]],
-                np.int64)
-            pos = ((enc[m8] // BC) == second[tq[m8]]).astype(np.int64)
-            code8 = pos * 128 + enc[m8] % BC
             arow8 = ((tg[m8] // chunk) * (n8 * chunk)
                      + tq[m8] * chunk + tg[m8] % chunk)
-            idx8_a[arow8, lane[m8]] = \
-                code8.astype(np.uint8).view(np.int8)
+            idx8_a[arow8, lane[m8]] = idx8_encode(enc[m8],
+                                                  second8[tq[m8]])
 
     # resident x: loc_w left pad + local span + window slack, then hot
     P_pad = G_pad + S            # window read for the last step fits
@@ -937,8 +959,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         in_specs.append(pl.BlockSpec((n8 * chunk, BC), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
     if n16 or not n8:
-        in_specs.append(pl.BlockSpec((max(n16, QT if not n8 else 0)
-                                      * chunk, BC), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec(((n16 if n8 else QT) * chunk,
+                                      BC), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
     if use_ext:                  # per-group ext panels, step-aligned
         in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
@@ -982,7 +1004,9 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         ext_windowed = plan.windowed and G_pad % 8 == 0
         if plan.windowed and not ext_windowed:
             plan.windowed = False     # tables revert to absolute p2
-        p2_a, l2_a = ext_gather.build_group_tables(plan, G_pad)
+        G2t = G_pad if (plan.windowed and G_pad % 8 == 0) \
+            else -(-G_pad // 8) * 8
+        p2_a, l2_a = ext_gather.build_group_tables(plan, G2t)
         base_d = jax.device_put(jnp.asarray(plan.base))
         p1_d = jax.device_put(jnp.asarray(plan.p1))
         l1_d = jax.device_put(jnp.asarray(plan.l1))
@@ -996,8 +1020,12 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             b8_d = jax.device_put(jnp.asarray(
                 ext_gather.build_base8(plan, G_pad)))
         else:
+            # the ranked gather emits 8-group blocks: pad the output
+            # group count and slice back (G_pad isn't 8-aligned for
+            # chunks that aren't multiples of 8)
+            G2 = -(-G_pad // 8) * 8
             s2_call = ext_gather.make_ranked_gather(
-                plan.H, G_pad, dtype, interpret)
+                plan.H, G2, dtype, interpret)
         n1 = plan.n1p_blocks * plan.R * BC
         pad_h = plan.H_pad - plan.H
 
@@ -1030,7 +1058,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
                 x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
                 hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
-                extp = s2_call(hot, p2, l2)
+                extp = s2_call(hot, p2, l2)[:G_pad]
                 y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs, extp)
                 return y.reshape(-1)[:m]
 

@@ -1862,8 +1862,9 @@ def register_all(register, StrategySpec, Prepared):
     register(StrategySpec(
         "pallas-hybrid-df64", "LELL", "pallas",
         "fp64-grade lane-ELL core (reference computes natively in "
-        "fp64, include/csr.h:12): Dekker TwoProd + TwoSum compensated "
-        "double-float on the rows-as-lanes slot chain",
+        "fp64, include/csr.h:12): Dekker TwoProd + exact digit-plane "
+        "accumulation on the rows-as-lanes slot chain (TwoSum pairs "
+        "are not compiler-stable under XLA FMA contraction)",
         prepare=functools.partial(prepare_lane_ell_df64,
                                   Prepared=Prepared)))
     from spmv_scpa_tpu.ops.chips_tail import prepare_chips_strategy

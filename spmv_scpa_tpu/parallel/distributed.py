@@ -324,26 +324,17 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     # zeros translate safely (strip 0 is position 0 when present).
     n8 = 0
     if idx8:
-        import math
-        order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
-        sets = [sets[q] for q in order]
-        n8 = sum(len(s) <= 2 for s in sets)
-        step8 = 32 // math.gcd(chunk, 32)
-        n8 = (n8 // step8) * step8
+        order, sets, n8, second8 = LE.idx8_partition(sets, chunk)
         vals_l = [v[:, order] for v in vals_l]
         idx_l = [ix[:, order] for ix in idx_l]
     used_t = tuple(sets)
     n16 = QT - n8
     idx8_l, idx16_l = [], []
     if n8:
-        second = np.array([s[1] if len(s) == 2 else -1
-                           for s in sets[:n8]], np.int64)
         for ix in idx_l:
-            i8 = ix[:, :n8].astype(np.int64)
-            pos = ((i8 >> 7) == second[None, :, None, None])
-            code = np.where(pos, 128 + (i8 & 127), i8 & 127)
-            idx8_l.append(code.astype(np.uint8).view(np.int8)
-                          .reshape(-1, BC))
+            idx8_l.append(LE.idx8_encode(
+                ix[:, :n8], second8[None, :, None, None])
+                .reshape(-1, BC))
             idx16_l.append(ix[:, n8:].reshape(-1, BC))
     else:
         idx16_l = [ix.reshape(-1, BC) for ix in idx_l]
@@ -368,20 +359,21 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         ng_u = max(c.ext_ng for c in cores)
         n1p_u = max(max(c.ext_n1p for c in cores), 1)
         n1e = n1p_u * ext_gather.R_PANELS * BC
+        G2e = -(-G_pad // 8) * 8     # ranked gather emits 8-group blocks
         eb_l, ep1_l, el1_l, ep2_l, el2_l = [], [], [], [], []
         for c in cores:
             ng = c.ext_ng
             b = np.zeros(ng_u, np.int32)
             p1 = np.zeros((ng_u * 8, BC), np.int32)
             l1 = np.zeros((ng_u * 8, BC), np.int32)
-            p2 = np.zeros((G_pad, BC), np.int32)
-            l2 = np.zeros((G_pad, BC), np.int32)
+            p2 = np.zeros((G2e, BC), np.int32)
+            l2 = np.zeros((G2e, BC), np.int32)
             if ng:
                 b[:ng] = c.ext_base
                 p1[:ng * 8] = c.ext_p1
                 l1[:ng * 8] = c.ext_l1
-                p2[:] = c.ext_p2
-                l2[:] = c.ext_l2
+                p2[:G_pad] = c.ext_p2
+                l2[:G_pad] = c.ext_l2
             eb_l.append(b)
             ep1_l.append(p1)
             el1_l.append(l1)
@@ -389,7 +381,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             el2_l.append(l2)
         s1e = ext_gather.make_sorted_gather(
             ng_u, n1p_u, ext_gather.R_PANELS, dtype, interpret)
-        s2e = ext_gather.make_ranked_gather(ng_u * 8, G_pad, dtype,
+        s2e = ext_gather.make_ranked_gather(ng_u * 8, G2e, dtype,
                                             interpret)
         n_ext_args = 5
 
@@ -456,31 +448,36 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
                 2 * x_bytes + 2 * G_pad * BC * 4
-                + 4 * QT * chunk * BC * 6
+                + 4 * chunk * BC * slot_b
                 + (chunk + S) * BC * 4 + chunk * BC * 4 * 2
                 + (chunk * BC * 8 if use_ext_d else 0)
                 + (8 << 20), 110 << 20)),
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * QT * chunk * BC,
-            bytes_accessed=int(steps * QT * chunk * BC * 6 + x_bytes
+            bytes_accessed=int(steps * chunk * BC * slot_b + x_bytes
                                + (G_pad * BC * 4 if use_ext_d else 0)),
             transcendentals=0),
         interpret=interpret,
     )
 
+    NL = max(n1e if use_ext_d else 0, 1)
+
+    def gframe(xpad, L):
+        """GLOBAL x frame recovered from the replicated xpad — pure
+        local VPU work, no extra mesh traffic. One build serves both
+        the ext and chips stage-1 gathers (sliced to each length)."""
+        f = jnp.zeros((NL,), dtype).at[:A.n].set(
+            jax.lax.slice(xpad, (loc_w,), (loc_w + A.n,)))
+        return f[:L]
+
     def core_y(xpad, vals, idxs, r0, eargs):
-        """Local core SpMV; with ext, the two gather stages run first
-        (stage-1 reads the GLOBAL x frame recovered from the
-        replicated xpad — pure local VPU work, no extra mesh traffic,
-        same trick as the chips stage-1 below)."""
         xs = jax.lax.dynamic_slice(xpad, (r0[0, 0],), (xw,))
         iblk = tuple(i[0] for i in idxs)
         if use_ext_d:
             eb, ep1, el1, ep2, el2 = eargs
-            x1 = jnp.zeros((n1e,), dtype).at[:A.n].set(
-                jax.lax.slice(xpad, (loc_w,), (loc_w + A.n,)))
+            x1 = gframe(xpad, n1e)
             hot = s1e(eb[0], x1.reshape(-1, BC), ep1[0], el1[0])
-            extp = s2e(hot, ep2[0], el2[0])
+            extp = s2e(hot, ep2[0], el2[0])[:G_pad]
             y = call(xs.reshape(P_pad, BC), vals[0], *iblk, extp)
         else:
             y = call(xs.reshape(P_pad, BC), vals[0], *iblk)
@@ -517,6 +514,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             h=p0.h, rows_per_step=p0.rows_per_step, nq=BC,
             total_tile_rows=E8, dtype=dtype, interpret=interpret)
         n1 = p0.n1p_blocks * p0.R * BC
+        NL = max(NL, n1)         # the shared gframe must cover it
         stack_np += [
             (np.stack([p.base for p in cplans]), jnp.int32),
             (np.stack([p.p1 for p in cplans]), jnp.int32),
@@ -542,7 +540,6 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         else:
             stack_np.append(
                 (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
-        n_loc = A.n                  # global x span inside xpad
 
         def local(xpad, vals, *rest):
             idxs, r0 = rest[:NI], rest[NI]
@@ -551,12 +548,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
             (cb, cp1, cl1, cp2, cl2, cv, crbl, cwin), mt = \
                 targs[:8], targs[8:]
             y = core_y(xpad, vals, idxs, r0, eargs)
-            # stage-1 x: global frame, recovered from the replicated
-            # xpad locally (pure VPU work — shipping a second
-            # full-x-sized operand through the mesh would double the
-            # replicated-x traffic)
-            x1 = jnp.zeros((n1,), dtype).at[:n_loc].set(
-                jax.lax.slice(xpad, (loc_w,), (loc_w + n_loc,)))
+            x1 = gframe(xpad, n1)
             hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
             xg = s2c(hot, cp2[0], cl2[0])
             ys = seg_fn(cv[0] * xg, crbl[0],

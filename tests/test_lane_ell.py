@@ -414,3 +414,18 @@ def test_idx8_all_planes_int8():
     validate_result(spmv_oracle(A, x), np.asarray(p.fn(x)),
                     what="idx8 all-int8")
     assert p.meta["idx8_planes"] == QT
+
+
+def test_ext_non_8_aligned_chunk():
+    """chunks that aren't multiples of 8 give a non-8-aligned G_pad;
+    the resident ranked gather pads its output groups to 8 and slices
+    back (regression: this used to trip the alignment assert instead
+    of taking the documented fallback)."""
+    A = synth.amazon_csr(19500, seed=11)
+    x = make_x(A.n)
+    for chunk, kw in [(4, {}), (12, {"idx8": True})]:
+        p = prepare_lane_ell_hybrid(A, interpret=True, chunk=chunk,
+                                    **kw)
+        assert p.meta["ext"]
+        validate_result(spmv_oracle(A, x), np.asarray(p.fn(x)),
+                        what=f"ext chunk={chunk} {kw}")
