@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epilogue window height in 8-row blocks")
     p.add_argument("--precision-passes", type=int, default=None,
                    help="bf16 MXU passes for f32 reduction (2 or 3)")
+    p.add_argument("--idx8", action="store_true",
+                   help="int8 index planes on <=2-strip hybrid planes "
+                        "(slot bytes 6 -> 5; ops/lane_ell.py)")
     p.add_argument("--spmm-cols", default="0",
                    help="also benchmark multi-vector SpMM at these "
                         "widths (comma list, e.g. 8,32,64; 0 = off)")
@@ -151,6 +154,8 @@ def main(argv=None) -> int:
         params["window_h"] = args.window_h
     if args.precision_passes:
         params["precision_passes"] = args.precision_passes
+    if args.idx8:
+        params["idx8"] = True
     cfg = RunConfig(
         out_dir=args.out,
         debug=args.debug,
