@@ -76,6 +76,11 @@ from spmv_scpa_tpu.formats.csr import CSR
 from spmv_scpa_tpu.formats.panel_ell import BC, BR
 
 X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
+# bytes-equivalent cost of one extra per-plane strip pass
+# (gather+cmp+select over the (chunk, BC) block each step),
+# calibrated from the flagship's measured 31% select share at ~1
+# extra pass/plane: 88 planes * 6 B * 0.31 / ~80 passes ~= 2 B
+SEL_B = 2.0
 
 
 def pow2_bound(v, min_exp: int = -60):
@@ -855,6 +860,31 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     G_tot = max(1, -(-m // BC))
     G_pad = -(-G_tot // chunk) * chunk
     steps = G_pad // chunk
+
+    # ---- cost-aware demotion acceptance ------------------------------
+    # Demotion trades streamed plane bytes (each plane: 6 B/lane/step)
+    # for select-chain VPU work (~SEL_B bytes-equivalent per extra
+    # strip pass). The coverage rule alone can lose badly: measured on
+    # a plain banded matrix it demoted 1.5k entries to save ONE strip
+    # pass while adding 8 overflow planes (+50% core bytes, fill
+    # 0.74 -> 0.49). Compare both packings and keep the cheaper.
+    if n_demoted and nnz:
+        def _strip_ops(pl_arr, msk):
+            return np.unique(pl_arr[msk] * np.int64(nw)
+                             + strip_all[msk]).size
+        ops_d = _strip_ops(plane, take)
+        plane_n = np.where(take0, sl, -1)
+        ops_n = _strip_ops(plane_n, take0)
+        n_tail_d = int(np.sum(take0 & ~take))   # demotion leftovers
+        tb = 100 if cheap_tail else 2000
+        cost_d = (QT * 6 + max(ops_d - QT, 0) * SEL_B) * G_pad * BC \
+            + n_tail_d * tb
+        cost_n = (Q * 6 + max(ops_n - Q, 0) * SEL_B) * G_pad * BC
+        if cost_n < cost_d:
+            plane = plane_n
+            take = plane >= 0
+            Qo, QT = 0, Q
+            n_demoted = n_reloc = 0
 
     # ---- pack plane-major arrays ------------------------------------
     # Per-plane static strip sets come first: the idx8 partition

@@ -383,31 +383,40 @@ def test_pow2_bound_exact_powers():
 # idx8: int8 index planes for <=2-strip planes (slot bytes 6 -> 5)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("mk", [
-    lambda: synth.banded_csr(3000, row_nnz=16, seed=1),
-    lambda: synth.stencil_csr(5000, points=6, run_len=8, bandwidth=300,
-                              seed=2),
-    lambda: synth.amazon_csr(20_000, seed=11),
-    lambda: synth.powerlaw_csr(4000, 4000, seed=7),
+@pytest.mark.parametrize("mk, cuts", [
+    (lambda: synth.banded_csr(3000, row_nnz=16, seed=1), True),
+    (lambda: synth.stencil_csr(5000, points=6, run_len=8,
+                               bandwidth=300, seed=2), True),
+    # scattered cases: whether any plane qualifies depends on the
+    # cost-aware demotion outcome — idx8 must stay CORRECT either way
+    (lambda: synth.amazon_csr(20_000, seed=11), False),
+    (lambda: synth.powerlaw_csr(4000, 4000, seed=7), False),
 ])
-def test_idx8_matches_oracle_and_cuts_bytes(mk):
+def test_idx8_matches_oracle_and_cuts_bytes(mk, cuts):
     """idx8=True reorders planes so <=2-strip ones ride an int8 idx
     stream (bit 7 = strip position, bits 0-6 = lane); must validate
-    vs the oracle and reduce hbm_bytes (pure idx-stream traffic)."""
+    vs the oracle, and reduce hbm_bytes where the structure
+    guarantees <=2-strip planes exist."""
     A = mk()
     x = make_x(A.n)
     p8 = prepare_lane_ell_hybrid(A, interpret=True, idx8=True)
     validate_result(spmv_oracle(A, x), np.asarray(p8.fn(x)),
                     what=f"idx8 {A.name}")
     p16 = prepare_lane_ell_hybrid(A, interpret=True)
-    assert p8.meta["idx8_planes"] > 0
-    assert p8.hbm_bytes < p16.hbm_bytes
+    if cuts:
+        assert p8.meta["idx8_planes"] > 0
+    if p8.meta["idx8_planes"] > 0:
+        assert p8.hbm_bytes < p16.hbm_bytes
 
 
 def test_idx8_all_planes_int8():
-    """A pure banded matrix where EVERY plane has <=2 strips: the
+    """Every plane <=2 strips by construction (two diagonals): the
     int16 idx stream disappears entirely (n8 == QT)."""
-    A = synth.banded_csr(1500, row_nnz=4, bandwidth=8, seed=3)
+    m = 1500
+    r = np.repeat(np.arange(m, dtype=np.int64), 2)
+    c = np.minimum(r + np.tile([0, 1], m), m - 1)
+    A = CSR.from_coo("twodiag", m, m, r, c,
+                     np.random.default_rng(3).standard_normal(2 * m))
     p = prepare_lane_ell_hybrid(A, interpret=True, idx8=True)
     QT = p.meta["slots"] + p.meta["ov_slots"]
     x = make_x(A.n)
