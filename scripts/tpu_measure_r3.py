@@ -42,11 +42,13 @@ def main() -> int:
         ("flagship", synth.stencil_csr(377_000, points=6, run_len=12,
                                        bandwidth=500, seed=3,
                                        name="ml_laplace_like"),
-         [("pallas-hybrid", {})]),
+         [("pallas-hybrid", {"idx8": True}), ("pallas-hybrid", {}),
+          ("pallas-hybrid-df64", {})]),
         ("amazon", synth.amazon_csr(m=262_000, seed=6),
-         [("pallas-hybrid", {}), ("pallas-chips", {})]),
+         [("pallas-hybrid", {"idx8": True}), ("pallas-hybrid", {}),
+          ("pallas-chips", {})]),
         ("webbase", synth.webbase_csr(m=1_000_000, seed=7),
-         [("pallas-hybrid", {})]),
+         [("pallas-hybrid", {"idx8": True}), ("pallas-hybrid", {})]),
         ("cant", synth.banded_csr(62_000, row_nnz=64, bandwidth=300,
                                   runs=8, seed=2, name="cant_like"),
          [("pallas-hybrid", {}), ("pallas-pell", {})]),
