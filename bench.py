@@ -73,7 +73,7 @@ def main() -> int:
 
     from spmv_scpa_tpu import testing as synth
     from spmv_scpa_tpu.bench.roofline import measure_stream_bw, roofline
-    from spmv_scpa_tpu.bench.timing import time_device_fn, warm_compiler
+    from spmv_scpa_tpu.bench.timing import time_prepared, warm_compiler
     from spmv_scpa_tpu.ops.oracle import spmv_oracle
     from spmv_scpa_tpu.ops.registry import get_strategy
     from spmv_scpa_tpu.utils.validation import validate_result
@@ -90,7 +90,7 @@ def main() -> int:
         for attempt in range(2):  # compile service occasionally 500s
             try:
                 prep = get_strategy(name).prepare(A, **params)
-                r = time_device_fn(prep.raw, x, args=prep.args, nnz=A.nnz)
+                r = time_prepared(prep, x)
                 validate_result(gold, r.data, what=name)
                 break
             except Exception as e:

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main() -> int:
     from spmv_scpa_tpu import testing as synth
     from spmv_scpa_tpu.bench.roofline import measure_stream_bw
-    from spmv_scpa_tpu.bench.timing import time_device_fn, warm_compiler
+    from spmv_scpa_tpu.bench.timing import time_prepared, warm_compiler
     from spmv_scpa_tpu.ops.oracle import spmv_oracle
     from spmv_scpa_tpu.ops.registry import get_strategy
     from spmv_scpa_tpu.utils.validation import validate_result
@@ -63,8 +63,7 @@ def main() -> int:
         for name, params in strategies:
             try:
                 prep = get_strategy(name).prepare(A, **params)
-                r = time_device_fn(prep.raw, x, args=prep.args,
-                                   nnz=A.nnz)
+                r = time_prepared(prep, x)
                 validate_result(gold, r.data, what=f"{label}/{name}")
                 sol_ms = (prep.hbm_bytes / (bw * 1e9) * 1e3
                           if prep.hbm_bytes else float("nan"))
