@@ -589,6 +589,23 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     nnz = A.nnz
 
     cols_w = cols - x_off        # window-relative column frame
+    if (loc_w == "auto" and depth == 0 and not core_only and nnz
+            and ext == "auto" and tail_strategy == "pallas-pell"):
+        # No-locality escape: when even the widest diagonal window
+        # covers a minority of entries, the hybrid's core+ext+tail
+        # split just adds overhead over the panel-local PELL kernel
+        # (measured: powerlaw archetype 8.4 GF/s through the split vs
+        # 12.5 GF/s whole-matrix pallas-pell row_sort chunk=256) —
+        # delegate the WHOLE matrix to pallas-pell's own auto tuning.
+        d_cov = float(np.mean(np.abs(cols_w - rows)
+                              <= _LOC_CHOICES[-1]))
+        if d_cov < 0.4:
+            prep = get_strategy("pallas-pell").prepare(
+                A, dtype=dtype, interpret=interpret)
+            prep.meta.setdefault("tail_kind", "pallas-pell")
+            prep.meta["delegated"] = "pallas-pell"
+            prep.meta["d_cov"] = round(d_cov, 4)
+            return prep
     if loc_w == "auto":
         loc_w = _auto_loc_w(rows, cols_w) if nnz else 128
     if loc_w % BC:
@@ -1138,6 +1155,16 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         if tail_nnz >= 2048 and "nochips" not in diag:
             from spmv_scpa_tpu.ops import chips_tail
             plan_c = chips_tail.plan_chips(trows, tcols, tvals, m, n)
+            if (plan_c is not None and tail_nnz > 131072
+                    and isinstance(plan_c, chips_tail.SplitChipsPlan)):
+                # Split-mode chips pay O(entries x window) one-hot
+                # gathers — measured 1.67 ms for the webbase
+                # archetype's 851k-entry tail, vs ~0.13 ms for the
+                # same shape (31k rows, scattered cols) as a
+                # compacted-row PELL problem (the powerlaw archetype
+                # IS this shape: 12.5 GF/s). Route huge split tails
+                # to the compacted delegation below.
+                plan_c = None
         if plan_c is not None:
             from spmv_scpa_tpu.ops import chips_tail
             c_raw, c_args, tail_hbm = chips_tail.prepare_chips(
@@ -1196,12 +1223,17 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             args = ell_args + (seg_d, tc_d, tv_d, ridx_d)
             tail_hbm = tail_nnz * 12
         else:
-            tail = CSR.from_coo(A.name + "_tail", m, n,
-                                trows, tcols, tvals)
             # Big tails with diagonal/hub locality recurse into the
             # hybrid itself (the residual is just another lane-ELL
             # problem; y's sum on device) — heavy rows shed Q slots
-            # per level. Pure scatter residuals amortize PELL.
+            # per level. Pure scatter residuals run PELL in the
+            # COMPACTED row space (rows renumbered 0..NH-1): a full-m
+            # sub-strategy pays O(m) grid work for a few active rows
+            # (webbase archetype: 31k active tail rows in a 1M-row
+            # space), while the compact problem is exactly the
+            # powerlaw shape PELL row_sort handles at 12.5 GF/s; the
+            # per-row sums land through the zero-scatter panel merge
+            # (chips_tail.make_landing).
             ts = tail_strategy
             if ts == "auto":
                 d = np.abs(tcols - trows)
@@ -1210,22 +1242,44 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                       if depth < max_depth and local >= 0.4
                       else "pallas-pell")
             if ts == "pallas-hybrid":
+                tail = CSR.from_coo(A.name + "_tail", m, n,
+                                    trows, tcols, tvals)
                 tail_prep = prepare_lane_ell_hybrid(
                     tail, dtype=dtype, interpret=interpret,
                     depth=depth + 1, max_depth=max_depth,
                     tail_xla_max=tail_xla_max, Prepared=Prepared)
                 ts = f"hybrid-r{depth + 1}"
+                t_raw, t_args = tail_prep.raw, tail_prep.args
+
+                def raw(x, *a):
+                    return ell_raw(x, *a[:n_ell]) + t_raw(x, *a[n_ell:])
+
+                args = ell_args + tuple(t_args)
             else:
+                from spmv_scpa_tpu.ops import chips_tail
+                NH = int(R.size)
+                tail = CSR.from_coo(A.name + "_tail", NH, n,
+                                    np.searchsorted(R, trows),
+                                    tcols, tvals)
                 tail_prep = get_strategy(ts).prepare(
                     tail, dtype=dtype, interpret=interpret)
+                ts = f"compact-{ts}"
+                t_raw, t_args = tail_prep.raw, tail_prep.args
+                land, margs, _mg, extra = chips_tail.make_landing(
+                    R, m, G_pad, dtype, interpret)
+                hid_d = jax.device_put(jnp.asarray(R, jnp.int32))
+                n_t = n_ell + len(t_args)
+
+                def raw(x, *a):
+                    y = ell_raw(x, *a[:n_ell])
+                    yt = t_raw(x, *a[n_ell:n_t])
+                    return land(y, yt[:NH], a[n_t], *a[n_t + 1:])
+
+                args = (ell_args + tuple(t_args) + (hid_d,)
+                        + tuple(margs))
+                tail_hbm = extra
             tail_kind_used = ts
-            t_raw, t_args = tail_prep.raw, tail_prep.args
-            tail_hbm = tail_prep.hbm_bytes
-
-            def raw(x, *a):
-                return ell_raw(x, *a[:n_ell]) + t_raw(x, *a[n_ell:])
-
-            args = ell_args + tuple(t_args)
+            tail_hbm += tail_prep.hbm_bytes
     else:
         raw, args = ell_raw, ell_args
 

@@ -616,7 +616,7 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
 def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
                              quantum: int | str = "auto",
                              window_h: int | str = "auto",
-                             chunk: int = 64, dtype=None,
+                             chunk: int | str = "auto", dtype=None,
                              panel_w: int | str = "auto",
                              row_sort: bool | str = "auto",
                              span_max: int = 8,
