@@ -629,6 +629,53 @@ def merge_tables(heavy_ids: np.ndarray, m: int, G_pad: int,
     return p2, l2
 
 
+MERGE_R_H = 16        # windowed-merge reach (sublanes): heavy ranks
+#                       are CONTIGUOUS per 128-row output group (k is
+#                       sorted by heavy id), so a group's slots span
+#                       <= ceil(128/128)+1 = 2 sublanes; +8 covers the
+#                       8-sublane base alignment.
+
+
+def merge_tables_windowed(heavy_ids: np.ndarray, m: int, G_pad: int,
+                          r_h: int = MERGE_R_H):
+    """Windowed variant of :func:`merge_tables`: per-output-row window
+    bases cut the merge's gather from O(G_out*H8) to O(G_out*r_h) —
+    measured consequence of the ranked form: a webbase-class tail
+    (NH=18.6k heavy rows) pays 4.6e8 VPU ops (~0.5 ms) in the merge
+    ALONE. Heavy ranks are contiguous per output group, so a 16-sublane
+    window always suffices. Out-of-window p (== r_h) lanes gather an
+    exact 0 (no mask row matches), replacing the ranked form's
+    dedicated zero-pad slot. Returns (base8, p2, l2, H8) or None when
+    the resident hot region would bust the VMEM cap.
+    """
+    NH = int(heavy_ids.size)
+    assert NH == 0 or int(heavy_ids.max()) < min(m, G_pad * BC), \
+        "heavy_ids must index rows (< m <= G_pad*128)"
+    if NH and np.any(np.diff(heavy_ids) <= 0):
+        # contiguous-ranks-per-group needs ascending ids (the chips
+        # plans order heavy rows by (length, id) — they keep the
+        # ranked merge; the compacted-PELL tail passes sorted uniques)
+        return None
+    H8 = max(_merge_h8(NH), r_h)
+    if H8 > H_WIN_CAP:
+        return None
+    G_out = -(-G_pad // 8) * 8
+    k = np.arange(NH, dtype=np.int64)
+    grp = (heavy_ids // BC).astype(np.int64)
+    lane = (heavy_ids % BC).astype(np.int64)
+    k_lo = np.searchsorted(heavy_ids, np.arange(G_out) * BC)
+    base8 = np.clip(k_lo // BC // 8, 0, (H8 - r_h) // 8).astype(
+        np.int32)
+    p2 = np.full((G_out, BC), r_h, np.int32)   # out-of-window => 0
+    l2 = np.zeros((G_out, BC), np.int32)
+    p2[grp, lane] = (k // BC - base8[grp].astype(np.int64) * 8) \
+        .astype(np.int32)
+    l2[grp, lane] = (k % BC).astype(np.int32)
+    assert NH == 0 or (0 <= p2[grp, lane]).all() \
+        and (p2[grp, lane] < r_h).all(), "merge window overflow"
+    return base8, p2, l2, H8
+
+
 def merge_hbm(NH: int, G_pad: int) -> int:
     """HBM bytes the panel merge streams per call: p2/l2/out lanes
     (12 B each) + the tiny resident ys region."""
@@ -667,6 +714,23 @@ def make_merge_apply(NH: int, m: int, G_pad: int, dtype,
     return apply
 
 
+def make_merge_apply_windowed(NH: int, m: int, G_pad: int, H8: int,
+                              dtype, interpret: bool,
+                              r_h: int = MERGE_R_H):
+    """``apply(y, ys, b8d, p2d, l2d) -> y'`` for the windowed merge
+    tables — O(r_h) per output row (vs O(H8) ranked)."""
+    G_out = -(-G_pad // 8) * 8
+    s2 = ext_gather.make_resident_window_gather(
+        G_out // 8, r_h, H8, dtype, interpret)
+    pad = H8 * BC - NH
+
+    def apply(y, ys, b8d, p2d, l2d):
+        ysp = jnp.pad(ys.astype(dtype), (0, pad)).reshape(H8, BC)
+        return y + s2(b8d, ysp, p2d, l2d).reshape(-1)[:m]
+
+    return apply
+
+
 def make_landing(heavy_ids: np.ndarray, m: int, G_pad: int, dtype,
                  interpret: bool, budget: float = 6e8):
     """The heavy-row landing step, fully composed: returns
@@ -680,6 +744,20 @@ def make_landing(heavy_ids: np.ndarray, m: int, G_pad: int, dtype,
     distributed builder composes merge_tables/make_merge_apply
     directly because its table shapes unify across shards.
     """
+    tw = merge_tables_windowed(heavy_ids, m, G_pad)
+    if tw is not None:
+        base8, p2, l2, H8 = tw
+        apply = make_merge_apply_windowed(
+            int(heavy_ids.size), m, G_pad, H8, dtype, interpret)
+        margs = (jax.device_put(jnp.asarray(base8)),
+                 jax.device_put(jnp.asarray(p2)),
+                 jax.device_put(jnp.asarray(l2)))
+        extra = merge_hbm(int(heavy_ids.size), G_pad)
+
+        def land(y, ys, hid, *mt):
+            return apply(y, ys, *mt)
+
+        return land, margs, True, extra
     t = merge_tables(heavy_ids, m, G_pad, budget)
     use_merge = t is not None
     apply = make_merge_apply(int(heavy_ids.size), m, G_pad, dtype,

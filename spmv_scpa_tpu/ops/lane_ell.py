@@ -81,6 +81,11 @@ X_VMEM_BUDGET = 10 << 20     # same budget as the fused PELL kernel
 # calibrated from the flagship's measured 31% select share at ~1
 # extra pass/plane: 88 planes * 6 B * 0.31 / ~80 passes ~= 2 B
 SEL_B = 2.0
+# Tail size (entries) past which the tail routes to the compacted-row
+# PELL delegation (split-mode chips' one-hot gathers measured 1.67 ms
+# on the webbase archetype's 851k-entry tail; the same shape as a
+# compacted PELL problem runs at powerlaw's ~0.16 ns/entry).
+BIG_TAIL = 131072
 
 
 def pow2_bound(v, min_exp: int = -60):
@@ -822,6 +827,16 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         rl_all = np.bincount(rows[eligible], minlength=m)
         already_heavy = rl_all[rows[unpl]] > Q
         unpl = unpl[~already_heavy]
+    # When the tail is headed for the compacted-PELL delegation anyway
+    # (> BIG_TAIL entries), leftovers join it at ~sub-ns/entry PELL
+    # rates instead of spawning catch-all overflow planes — those
+    # planes carry FULL strip-decode select chains (measured webbase:
+    # 13 catch-all planes = 321 strip passes = 1.07 ms, vs 0.30 ms of
+    # core stream) plus a near-empty plane's padding bytes.
+    if unpl.size:
+        spill_proj = int(np.sum(~take0)) + int(unpl.size)
+        if spill_proj > BIG_TAIL:
+            unpl = unpl[:0]
 
     # Overflow planes for unrelocatable leftovers, in two tiers:
     # (a) strip-wise DEDICATED planes — single-strip (no select
@@ -1155,7 +1170,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         if tail_nnz >= 2048 and "nochips" not in diag:
             from spmv_scpa_tpu.ops import chips_tail
             plan_c = chips_tail.plan_chips(trows, tcols, tvals, m, n)
-            if (plan_c is not None and tail_nnz > 131072
+            if (plan_c is not None and tail_nnz > BIG_TAIL
                     and isinstance(plan_c, chips_tail.SplitChipsPlan)):
                 # Split-mode chips pay O(entries x window) one-hot
                 # gathers — measured 1.67 ms for the webbase
