@@ -159,9 +159,15 @@ def idx8_partition(sets: list, chunk: int):
     """
     import math
     QT = len(sets)
-    order = sorted(range(QT), key=lambda q: len(sets[q]) > 2)
+
+    def _i8ok(s):
+        # dynamic slots (negative members) use nw+j codes that don't
+        # fit the 1-bit positional encoding — int16 always
+        return len(s) <= 2 and all(w >= 0 for w in s)
+
+    order = sorted(range(QT), key=lambda q: not _i8ok(sets[q]))
     sets2 = [sets[q] for q in order]
-    n8 = sum(len(s) <= 2 for s in sets2)
+    n8 = sum(_i8ok(s) for s in sets2)
     step8 = 32 // math.gcd(chunk, 32)
     n8 = (n8 // step8) * step8
     second = np.array([s[1] if len(s) == 2 else -1
@@ -181,7 +187,8 @@ def idx8_encode(enc: np.ndarray, second_b: np.ndarray) -> np.ndarray:
 
 def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
                      used: tuple, diag: str = "", ext_w: int = -1,
-                     n8: int = 0):
+                     n8: int = 0, nw: int = 0,
+                     dyn_off: dict | None = None, TD: int = 0):
     """One grid step = ``chunk`` row-groups of 128 rows.
 
     ``vals``/``idx`` blocks are plane-major: rows ``q*chunk + c``.
@@ -201,7 +208,12 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
     """
     has_ext = ext_w >= 0
 
-    def kernel(x_ref, vals_ref, *refs):
+    def kernel(*krefs):
+        if TD:
+            dynw_ref, x_ref, vals_ref, *refs = krefs
+        else:
+            x_ref, vals_ref, *refs = krefs
+            dynw_ref = None
         if n8 > 0 and n8 < Q:
             idx8_ref, idx16_ref, *refs = refs
         elif n8 > 0:
@@ -229,7 +241,12 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
             lq = jax.lax.bitwise_and(iq, 127)
             xv = None
             for k, w in enumerate(used[q]):
-                if w < S:        # sliding local strip
+                if w < 0:        # per-step DYNAMIC slot: strip id is
+                    #              scalar-prefetched SMEM data
+                    j = -w - 1
+                    wd = dynw_ref[i * TD + dyn_off[q] + j]
+                    xs = xw_ref[pl.ds(wd, chunk), :]
+                elif w < S:      # sliding local strip
                     xs = xw_ref[w:w + chunk, :]
                 elif has_ext and w == ext_w:
                     # per-group ext panel: group-aligned block rows
@@ -240,8 +257,9 @@ def _lane_ell_kernel(chunk: int, Q: int, S: int, hp0: int,
                 gw = xs if "nogather" in diag \
                     else jnp.take_along_axis(xs, lq, axis=1)
                 # strip code: positional bit for int8 planes, absolute
-                # window id for int16 planes
-                code = k if q < n8 else w
+                # window id for int16 planes, nw+j for dynamic slots
+                code = (k if q < n8
+                        else (nw - w - 1) if w < 0 else w)
                 if xv is None:
                     xv = gw
                 elif len(used[q]) > 1 and "nosel" not in diag:
@@ -563,6 +581,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             idx8: bool = False,
                             interpret: bool | None = None,
                             strip_cov: float | None = 0.985,
+                            dyn_strips: bool | str = False,
+                            dyn_k: int = 4,
                             ov_max: int = 8, ov_budget: int = 64,
                             ded_bytes: int = 32 << 20,
                             ded_max: int = 4, max_strips: int = 4,
@@ -751,15 +771,66 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     ext_w = (S + Hs) if use_ext else -1
     n_demoted = n_reloc = 0
     unpl = np.empty(0, np.int64)
+    # ---- per-step DYNAMIC strip slots --------------------------------
+    # A plane whose entries spread over many sliding strips used to
+    # face a lose-lose choice: keep the strips (one gather+cmp+select
+    # pass EACH — webbase: 321 passes = 1.07 ms) or demote the entries
+    # (overflow-plane padding / tail). Per-step slots break the
+    # dilemma: the strip id becomes scalar-prefetched SMEM DATA
+    # ((steps, TD) table), so each plane holds dyn_k slots whose strip
+    # is chosen per grid step — scattered-local matrices keep short
+    # chains because per-step spread << global spread. Encoded as
+    # NEGATIVE members of used[q] (slot j = -(j+1)); entry idx codes
+    # are nw + j (int16 planes only; dyn planes skip idx8).
+    G_tot = max(1, -(-m // BC))
+    G_pad = -(-G_tot // chunk) * chunk
+    steps = G_pad // chunk
+    dyn_k_of: dict[int, int] = {}        # plane -> dyn slot count
+    dyn_keep: dict[int, np.ndarray] = {}  # plane -> (steps, S) kept
+    dyn_pos: dict[int, np.ndarray] = {}   # plane -> (steps, S) slot j
+    dyn_tab: dict[int, np.ndarray] = {}   # plane -> (steps, K) strips
+    dyn_on = (dyn_strips if dyn_strips != "auto" else not core_only)
     if nnz and strip_cov is not None and Q > 0:
         pair, cnt = np.unique(sl[take0] * nw + strip_all[take0],
                               return_counts=True)
         keep = np.zeros((Q, nw), bool)
+        ti = np.flatnonzero(take0)
+        step_all = grp // chunk
         for q in range(Q):
             msk = (pair // nw) == q
             if not msk.any():
                 continue
             ws, cs = pair[msk] % nw, cnt[msk]
+            n_loc = int(np.sum(ws < S))
+            if dyn_on and n_loc > max_strips:
+                # dynamic plane: ext/hot strips stay static members;
+                # local strips ride per-step slots
+                keep[q, ws[ws >= S]] = True
+                ei = ti[sl[ti] == q]
+                li = ei[strip_all[ei] < S]
+                hist = np.zeros((steps, S), np.int64)
+                np.add.at(hist, (step_all[li], strip_all[li]), 1)
+                K = int(min(dyn_k, max(1, int((hist > 0).sum(
+                    axis=1).max(initial=1)))))
+                # top-K strips per step; ties broken by strip id
+                part = np.argpartition(-hist, K - 1, axis=1)[:, :K]
+                kept = np.zeros((steps, S), bool)
+                np.put_along_axis(kept, part, True, axis=1)
+                kept &= hist > 0
+                # never keep a zero-count slot; stable slot order by
+                # strip id so the table is deterministic
+                pos = np.full((steps, S), -1, np.int64)
+                srt = np.sort(np.where(kept, np.arange(S)[None, :],
+                                       S), axis=1)[:, :K]
+                for j in range(K):
+                    sj = srt[:, j]
+                    ok = sj < S
+                    pos[np.flatnonzero(ok), sj[ok]] = j
+                dyn_k_of[q] = K
+                dyn_keep[q] = kept
+                dyn_pos[q] = pos
+                dyn_tab[q] = np.where(srt < S, srt, 0).astype(np.int32)
+                continue
             order = np.argsort(cs)                    # ascending
             cum = np.cumsum(cs[order])
             ndrop = int(np.searchsorted(
@@ -772,8 +843,11 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             ndrop = min(ndrop, len(ws) - 1)
             keep[q, ws[order[ndrop:]]] = True
         nat = np.zeros(nnz, bool)
-        ti = np.flatnonzero(take0)
         nat[ti] = keep[sl[ti], strip_all[ti]]
+        for q, kept in dyn_keep.items():
+            ei = ti[sl[ti] == q]
+            li = ei[strip_all[ei] < S]
+            nat[li] = kept[step_all[li], strip_all[li]]
         unpl = np.flatnonzero(take0 & ~nat)
         n_demoted = int(unpl.size)
         plane[unpl] = -1
@@ -789,7 +863,9 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
 
             # per-strip keeper-plane lists, tried round-robin (spread
             # by row so same-strip entries of one row hit distinct
-            # planes in the same pass)
+            # planes in the same pass); dynamic planes accept only
+            # their STATIC members (per-step local slots can't host
+            # arbitrary relocations)
             kp = [np.flatnonzero(keep[:, w]) for w in range(nw)]
             kp_size = np.array([p.size for p in kp])
             kp_len = np.maximum(kp_size, 1)
@@ -827,16 +903,13 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         rl_all = np.bincount(rows[eligible], minlength=m)
         already_heavy = rl_all[rows[unpl]] > Q
         unpl = unpl[~already_heavy]
-    # When the tail is headed for the compacted-PELL delegation anyway
-    # (> BIG_TAIL entries), leftovers join it at ~sub-ns/entry PELL
-    # rates instead of spawning catch-all overflow planes — those
-    # planes carry FULL strip-decode select chains (measured webbase:
-    # 13 catch-all planes = 321 strip passes = 1.07 ms, vs 0.30 ms of
-    # core stream) plus a near-empty plane's padding bytes.
-    if unpl.size:
-        spill_proj = int(np.sum(~take0)) + int(unpl.size)
-        if spill_proj > BIG_TAIL:
-            unpl = unpl[:0]
+    # (measured refutation, docs/PERF_LOG.md round 3: routing ALL
+    # demotion leftovers to the big-tail compacted-PELL delegation
+    # polluted the tail with ~500k LIGHT rows — the compacted
+    # sub-problem became the original scatter problem again and ran
+    # slower than the overflow planes it replaced. Leftovers stay on
+    # the dedicated/catch-all plane path; the catch-all select chains
+    # are tamed by per-step dynamic strips below instead.)
 
     # Overflow planes for unrelocatable leftovers, in two tiers:
     # (a) strip-wise DEDICATED planes — single-strip (no select
@@ -874,6 +947,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             placed_mask |= hit
             next_q += k_w
         unpl = unpl[~placed_mask]
+    catch0 = next_q
     if unpl.size:
         rem = np.zeros(nnz, bool)
         rem[unpl] = True
@@ -885,6 +959,45 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         plane[ov] = next_q + sl2[ov]
         if ov.any():
             next_q += int(sl2[ov].max()) + 1
+    # Catch-all planes get per-step DYNAMIC local strips instead of
+    # the full strip decode: a webbase-class core's 13 catch-alls
+    # carried 321 static strip passes = 1.07 ms of pure select VPU
+    # (vs 0.30 ms core stream). Per-step top-dyn_k keeps most entries
+    # (demotion leftovers cluster); the rest join the tail. Primary
+    # planes stay static — measured on chip, per-step slots LOSE there
+    # (flagship 161.6 -> 155.5 GF/s; uniform scatter spreads per-step
+    # exactly like global, so the SMEM-driven chain buys no coverage).
+    if next_q > catch0 and not core_only and nnz:
+        step_all2 = grp // chunk
+        for qc in range(catch0, next_q):
+            ei = np.flatnonzero(plane == qc)
+            li = ei[strip_all[ei] < S]
+            if not li.size:
+                continue
+            hist = np.zeros((steps, S), np.int64)
+            np.add.at(hist, (step_all2[li], strip_all[li]), 1)
+            n_strips_q = int(np.unique(strip_all[li]).size)
+            if n_strips_q <= max_strips:
+                continue                   # static set already short
+            K = int(min(dyn_k, max(1, int((hist > 0).sum(
+                axis=1).max(initial=1)))))
+            part = np.argpartition(-hist, K - 1, axis=1)[:, :K]
+            kept = np.zeros((steps, S), bool)
+            np.put_along_axis(kept, part, True, axis=1)
+            kept &= hist > 0
+            pos = np.full((steps, S), -1, np.int64)
+            srt = np.sort(np.where(kept, np.arange(S)[None, :], S),
+                          axis=1)[:, :K]
+            for j in range(K):
+                sj = srt[:, j]
+                ok = sj < S
+                pos[np.flatnonzero(ok), sj[ok]] = j
+            drop = li[~kept[step_all2[li], strip_all[li]]]
+            plane[drop] = -1
+            dyn_k_of[qc] = K
+            dyn_keep[qc] = kept
+            dyn_pos[qc] = pos
+            dyn_tab[qc] = np.where(srt < S, srt, 0).astype(np.int32)
     Qo = next_q - Q
     take = plane >= 0
     QT = Q + Qo
@@ -904,7 +1017,18 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         def _strip_ops(pl_arr, msk):
             return np.unique(pl_arr[msk] * np.int64(nw)
                              + strip_all[msk]).size
-        ops_d = _strip_ops(plane, take)
+        if dyn_k_of:
+            # dynamic planes run exactly K select passes per step
+            # (their entry-level strip variety is SMEM data, not
+            # extra passes); count their static (ext/hot) members
+            # from entries as usual
+            dv = np.zeros(QT, bool)
+            dv[list(dyn_k_of)] = True
+            in_dyn = (plane >= 0) & dv[np.clip(plane, 0, QT - 1)]
+            stat = take & (~in_dyn | (strip_all >= S))
+            ops_d = _strip_ops(plane, stat) + sum(dyn_k_of.values())
+        else:
+            ops_d = _strip_ops(plane, take)
         plane_n = np.where(take0, sl, -1)
         ops_n = _strip_ops(plane_n, take0)
         n_tail_d = int(np.sum(take0 & ~take))   # demotion leftovers
@@ -917,6 +1041,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             take = plane >= 0
             Qo, QT = 0, Q
             n_demoted = n_reloc = 0
+            dyn_k_of, dyn_keep = {}, {}
+            dyn_pos, dyn_tab = {}, {}
 
     # ---- pack plane-major arrays ------------------------------------
     # Per-plane static strip sets come first: the idx8 partition
@@ -927,10 +1053,19 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     if nnz:
         pq = plane[take]
         pw = (enc_all[take] // BC).astype(np.int64)
-        qs = np.unique(np.stack([pq, pw]), axis=1)
+        # dynamic planes list their local strips as negative SLOT
+        # members (-1.. -K), not as static strips
+        dyn_loc = np.zeros(take.sum() if nnz else 0, bool)
+        if dyn_k_of:
+            dvec = np.zeros(QT, bool)
+            dvec[list(dyn_k_of)] = True
+            dyn_loc = dvec[pq] & (pw < S)
+        qs = np.unique(np.stack([pq[~dyn_loc], pw[~dyn_loc]]), axis=1)
         acc_sets: list[set] = [set() for _ in range(QT)]
         for q, w in qs.T:
             acc_sets[int(q)].add(int(w))
+        for q, K in dyn_k_of.items():
+            acc_sets[q].update(-(j + 1) for j in range(K))
         sets = [tuple(sorted(u)) for u in acc_sets]
     n8 = 0
     second8 = np.zeros(0, np.int64)
@@ -940,6 +1075,9 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         for newq, oldq in enumerate(order):
             remap[oldq] = newq
         plane[take] = remap[plane[take]]
+        dyn_k_of = {int(remap[q]): K for q, K in dyn_k_of.items()}
+        dyn_pos = {int(remap[q]): v for q, v in dyn_pos.items()}
+        dyn_tab = {int(remap[q]): v for q, v in dyn_tab.items()}
     used_t = tuple(sets)
     n16 = QT - n8
 
@@ -950,7 +1088,17 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         tg = grp[take]
         tq = plane[take]
         lane = (rows[take] % BC).astype(np.int64)
-        enc = enc_all[take]
+        enc = enc_all[take].copy()
+        if dyn_k_of:
+            st_t = tg // chunk
+            pw_t = enc // BC          # absolute strip id
+            for q, posq in dyn_pos.items():
+                mloc = (tq == q) & (pw_t < S)
+                if not mloc.any():
+                    continue
+                j = posq[st_t[mloc], pw_t[mloc]]
+                assert (j >= 0).all(), "dyn slot missing for kept entry"
+                enc[mloc] = (nw + j) * BC + enc[mloc] % BC
         arow = (tg // chunk) * (QT * chunk) + tq * chunk + tg % chunk
         vals_a[arow, lane] = A.as_[take]
         m16 = tq >= n8
@@ -984,6 +1132,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         assert Hs == 0, "core_only requires hot_k=0"
         assert not (use_ext and ext_windowed), \
             "core_only ext requires ext_windowed=False"
+        assert not dyn_k_of, \
+            "core_only (distributed) runs static strip sets only"
         tm = ~take if nnz else np.zeros(0, bool)
         if use_ext:
             p2_a, l2_a = ext_gather.build_group_tables(plan, G_pad)
@@ -1011,33 +1161,55 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     idx_ds = tuple(idx_ds)
     hot_d = jax.device_put(jnp.asarray(hot_idx, jnp.int32))
 
+    # per-step dynamic strip table, flattened for SMEM scalar prefetch
+    dyn_off: dict[int, int] = {}
+    TD = 0
+    for q in sorted(dyn_k_of):
+        dyn_off[q] = TD
+        TD += dyn_k_of[q]
+    if TD:
+        dynw_a = np.zeros((steps, TD), np.int32)
+        for q, tab in dyn_tab.items():
+            dynw_a[:, dyn_off[q]:dyn_off[q] + dyn_k_of[q]] = tab
+        dynw_d = jax.device_put(jnp.asarray(dynw_a.reshape(-1)))
+        pre = (dynw_d,)
+
+        def _im(i, dw):
+            return (i, 0)
+    else:
+        dynw_d = None
+        pre = ()
+
+        def _im(i):
+            return (i, 0)
+
     slot_b = 4 * QT + 1 * n8 + 2 * n16     # f32 vals + split idx
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.VMEM),              # x resident
-        pl.BlockSpec((QT * chunk, BC), lambda i: (i, 0),
+        pl.BlockSpec((QT * chunk, BC), _im,
                      memory_space=pltpu.VMEM),
     ]
     if n8:
-        in_specs.append(pl.BlockSpec((n8 * chunk, BC), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((n8 * chunk, BC), _im,
                                      memory_space=pltpu.VMEM))
     if n16 or not n8:
         in_specs.append(pl.BlockSpec(((n16 if n8 else QT) * chunk,
-                                      BC), lambda i: (i, 0),
+                                      BC), _im,
                                      memory_space=pltpu.VMEM))
     if use_ext:                  # per-group ext panels, step-aligned
-        in_specs.append(pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+        in_specs.append(pl.BlockSpec((chunk, BC), _im,
                                      memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1 if TD else 0,
         grid=(steps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((chunk, BC), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk, BC), _im,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((chunk + S, BC), dtype)],
     )
     call = pl.pallas_call(
         _lane_ell_kernel(chunk, QT, S, hp0, used_t, diag, ext_w,
-                         n8=n8),
+                         n8=n8, nw=nw, dyn_off=dyn_off, TD=TD),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G_pad, BC), dtype),
         compiler_params=pltpu.CompilerParams(
@@ -1094,7 +1266,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         NI = len(idx_ds)         # idx stream count (1, or 2 with idx8)
         if ext_windowed:
             def ell_raw(x, vals, *rest):
-                idxs, (hot_i, base, p1, l1, p2, l2, b8) = \
+                idxs, (hot_i, base, p1, l1, p2, l2, b8, *dw) = \
                     rest[:NI], rest[NI:]
                 xf = x.astype(dtype)
                 xp = jnp.zeros((P_pad * BC,), dtype)
@@ -1106,14 +1278,15 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 elif pad_h < 0:
                     hot = hot[:plan.H_pad]
                 extp = s2_call(b8, hot, p2, l2)
-                y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs, extp)
+                y = call(*dw, xp.reshape(P_pad + Hs, BC), vals, *idxs,
+                         extp)
                 return y.reshape(-1)[:m]
 
             ell_args = (vals_d, *idx_ds, hot_d, base_d, p1_d, l1_d,
-                        p2_d, l2_d, b8_d)
+                        p2_d, l2_d, b8_d) + pre
         else:
             def ell_raw(x, vals, *rest):
-                idxs, (hot_i, base, p1, l1, p2, l2) = \
+                idxs, (hot_i, base, p1, l1, p2, l2, *dw) = \
                     rest[:NI], rest[NI:]
                 xf = x.astype(dtype)
                 xp = jnp.zeros((P_pad * BC,), dtype)
@@ -1121,25 +1294,26 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                 x1 = jnp.zeros((n1,), dtype).at[:n].set(xf)
                 hot = s1_call(base, x1.reshape(-1, BC), p1, l1)
                 extp = s2_call(hot, p2, l2)[:G_pad]
-                y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs, extp)
+                y = call(*dw, xp.reshape(P_pad + Hs, BC), vals, *idxs,
+                         extp)
                 return y.reshape(-1)[:m]
 
             ell_args = (vals_d, *idx_ds, hot_d, base_d, p1_d, l1_d,
-                        p2_d, l2_d)
+                        p2_d, l2_d) + pre
     else:
         NI = len(idx_ds)
         def ell_raw(x, vals, *rest):
-            idxs, (hot_i,) = rest[:NI], rest[NI:]
+            idxs, (hot_i, *dw) = rest[:NI], rest[NI:]
             xf = x.astype(dtype)
             xp = jnp.zeros((P_pad * BC,), dtype)
             xp = xp.at[loc_w:loc_w + n_local].set(xf[:n_local])
             if Hs:
                 xh = jnp.take(xf, hot_i, mode="fill", fill_value=0)
                 xp = jnp.concatenate([xp, xh.astype(dtype)])
-            y = call(xp.reshape(P_pad + Hs, BC), vals, *idxs)
+            y = call(*dw, xp.reshape(P_pad + Hs, BC), vals, *idxs)
             return y.reshape(-1)[:m]
 
-        ell_args = (vals_d, *idx_ds, hot_d)
+        ell_args = (vals_d, *idx_ds, hot_d) + pre
 
     # ---- CSR tail ----------------------------------------------------
     # Tiny tails (demotion remainders, a few k nnz) CANNOT go through a
@@ -1313,6 +1487,8 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
               "ext_cov": round(plan.covered, 4) if use_ext else None,
               "strips": S, "hot_strips": Hs, "chunk": chunk,
               "steps": steps, "strip_ops": n_strip_ops,
+              "dyn_planes": len(dyn_k_of),
+              "dyn_k": max(dyn_k_of.values(), default=0),
               "demoted": n_demoted, "relocated": n_reloc,
               "fill": float(np.sum(take)) / max(G_pad * QT * BC, 1),
               "tail_nnz": tail_nnz,
