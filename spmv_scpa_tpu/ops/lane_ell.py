@@ -657,8 +657,16 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             G_est0 = max(1, -(-m // BC))
             h_eff = plan.r_hot if plan.windowed else plan.H
             vpu_ops = G_est0 * h_eff * BC * 3      # stage-2 dominates
+            # Cost-aware gate (measured on chip, round 3): stage-2 VPU
+            # ops convert at ~0.74 bytes-equivalent each (1e12 ops/s
+            # vs the 742 GB/s stream), while an ext-dropped entry
+            # costs ~500 B-equiv in the tail (chips / compact-PELL).
+            # webbase: 7.4e8 ops = 550 MB-eq vs 500k x 500 = 250 MB-eq
+            # -> drop ext (measured 2.46 vs 2.68 ms); amazon: 42 vs
+            # 82 MB-eq -> keep (0.294 vs 0.461 ms).
             if (plan.covered < 0.5 or plan.n_out < 2048
-                    or plan.n_out < 0.005 * nnz or vpu_ops > 2e9):
+                    or plan.n_out < 0.005 * nnz
+                    or vpu_ops * 0.74 > plan.n_out * 500):
                 plan = None
     use_ext = plan is not None
     ext_lane = plan.ext_lane if use_ext else None
@@ -729,7 +737,12 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
         # rows longer than Q each become one heavy row. (With the
         # scalar fallbacks, per-ROW cost is already folded into
         # TAIL_BPN=2000 per entry.)
-        SCAT_B = 22000 if TAIL_BPN < 2000 else 0
+        # Per-heavy-row landing cost: recalibrated from 22000 (the
+        # scalar-scatter era) to 8000 B-equiv now that the panel merge
+        # (ranked, or windowed at O(r_h)/row) carries the landing —
+        # measured: amazon slots=24 runs 6.79 GF/s vs the old model's
+        # slots=32 pick at 5.46 (round 3, docs/PERF_LOG.md).
+        SCAT_B = 8000 if TAIL_BPN < 2000 else 0
         rl_elig = np.bincount(rows[eligible], minlength=m) if nnz \
             else np.zeros(1)
         best_cost, Q = None, _Q_CHOICES[-1]

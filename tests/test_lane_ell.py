@@ -86,7 +86,9 @@ def test_large_tail_uses_pallas_strategy():
     p2 = prepare_lane_ell_hybrid(A, interpret=True, tail_xla_max=100,
                                  diag="nochips")
     if p2.meta["tail_nnz"] > 100:
-        assert p2.meta["tail_kind"] == "pallas-pell"
+        # big scatter tails run PELL in the compacted row space with
+        # the panel-merge landing (round 3)
+        assert p2.meta["tail_kind"] == "compact-pallas-pell"
 
 
 def test_recursive_tail_on_local_residual():
@@ -105,7 +107,12 @@ def test_recursion_depth_bounded():
     p = _run(A, tail_strategy="auto", tail_xla_max=100, max_depth=1)
     tm = p.meta.get("tail_meta")
     if tm is not None:                  # level-1 tail exists
-        assert tm["tail_kind"] in (None, "xla-compact", "pallas-pell")
+        # at max_depth the level-1 tail must NOT be another hybrid
+        # recursion: its meta either lacks tail_kind entirely (pell /
+        # chips sub-preps) or names a terminal kind
+        assert tm.get("tail_kind", "terminal") in (
+            None, "terminal", "xla-compact", "pallas-pell",
+            "compact-pallas-pell", "chips")
 
 
 def test_ded_bytes_cap_limits_overflow_planes():
