@@ -42,6 +42,24 @@ def make_mesh(n_devices: int | None = None, devices=None, axis: str = "rows"):
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _unpad_rows(y_pad, bounds: np.ndarray, m: int):
+    """Reassemble global y from per-shard padded rows ``(n_dev,
+    h_pad)`` by STATIC slices (``bounds`` are host values, so every
+    slice shape is compile-time). The previous searchsorted+take form
+    paid a near-scalar XLA gather over all m rows EVERY call
+    (~30 ns/row, CLAUDE.md) — measured as the bulk of the distributed
+    mesh=1 overhead (flagship: 2.85 ms vs 0.296 single-chip)."""
+    import jax
+    import jax.numpy as jnp
+    n_dev = y_pad.shape[0]
+    parts = [jax.lax.slice_in_dim(y_pad[d], 0,
+                                  int(bounds[d + 1] - bounds[d]))
+             for d in range(n_dev)]
+    out = parts[0] if n_dev == 1 else jnp.concatenate(parts)
+    assert out.shape[0] == m, (out.shape, m)
+    return out
+
+
 def plan_row_shards(A: CSR, n_shards: int) -> tuple[np.ndarray, int]:
     """nnz-balanced contiguous row spans + the padded uniform shard
     height (SPMD shards must have identical shapes)."""
@@ -129,13 +147,9 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
     # matrix arrays travel as jit arguments, not baked-in constants
     def raw(x, ja_a, as_a, seg_a, bounds_lo, bounds_hi):
         y_pad = mapped(ja_a, as_a, seg_a, x)          # (n_dev, h)
-        # unpad: shard d covers rows [bounds[d], bounds[d+1])
-        flat = y_pad.reshape(-1)
-        idx = jnp.arange(m, dtype=jnp.int32)
-        # map global row -> (shard, local) via searchsorted over bounds
-        sh = jnp.searchsorted(bounds_hi, idx, side="right")
-        local = idx - jnp.take(bounds_lo, sh)
-        return jnp.take(flat, sh * h + local)
+        # unpad: shard d covers rows [bounds[d], bounds[d+1]) —
+        # static slices (bounds are host values)
+        return _unpad_rows(y_pad, bounds, m)
 
     jitted = jax.jit(raw)
     extra = (jnp.asarray(bounds[:-1], jnp.int32),
@@ -576,19 +590,13 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
                        out_specs=P(axis), check_vma=False)
 
     m = A.m
-    bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
-                jnp.asarray(bounds[1:], jnp.int32))
 
     def raw_full(x, *args_stacked):
         xf = x.astype(dtype)
         xpad = jnp.concatenate(
             [jnp.zeros(loc_w, dtype), xf, jnp.zeros(xw, dtype)])
         y_pad = mapped(xpad, *args_stacked)          # (n_dev, h_rows)
-        flat = y_pad.reshape(-1)
-        idx = jnp.arange(m, dtype=jnp.int32)
-        sh = jnp.searchsorted(bounds_j[1], idx, side="right")
-        local_i = idx - jnp.take(bounds_j[0], sh)
-        return jnp.take(flat, sh * h_rows + local_i)
+        return _unpad_rows(y_pad, bounds, m)
 
     jitted = jax.jit(raw_full)
 
@@ -751,16 +759,10 @@ def prepare_row_sharded_pell(A: CSR, mesh=None, n_shards: int | None = None,
                        out_specs=P(axis), check_vma=False)
 
     m = A.m
-    bounds_j = (jnp.asarray(bounds[:-1], jnp.int32),
-                jnp.asarray(bounds[1:], jnp.int32))
 
     def raw_full(x, *args_stacked):
         y_pad = mapped(x.astype(dtype), *args_stacked)   # (n_dev, h_rows)
-        flat = y_pad.reshape(-1)
-        idx = jnp.arange(m, dtype=jnp.int32)
-        sh = jnp.searchsorted(bounds_j[1], idx, side="right")
-        local_i = idx - jnp.take(bounds_j[0], sh)
-        return jnp.take(flat, sh * h_rows + local_i)
+        return _unpad_rows(y_pad, bounds, m)
 
     jitted = jax.jit(raw_full)
 
