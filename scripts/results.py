@@ -54,7 +54,9 @@ def main() -> int:
                     help="also run the native OpenMP thread sweep")
     ap.add_argument("--distributed", action="store_true",
                     help="also benchmark the row-sharded path")
-    ap.add_argument("--spmm-cols", type=int, default=0)
+    ap.add_argument("--spmm-cols", default="0",
+                    help="comma list of SpMM right-hand-side widths "
+                         "(forwarded to the CLI; 0 disables)")
     ap.add_argument("--chunks", default=None)
     args = ap.parse_args()
 
@@ -78,7 +80,7 @@ def main() -> int:
                 argv.append("--host-parallel")
             if args.distributed:
                 argv.append("--distributed")
-            if args.spmm_cols:
+            if args.spmm_cols and args.spmm_cols != "0":
                 argv += ["--spmm-cols", str(args.spmm_cols)]
             if args.chunks:
                 argv += ["--chunks", args.chunks]
