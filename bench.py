@@ -28,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_BEST_GFLOPS = 62.5
 
-# (strategy, params) candidates — the round-3 lane-ELL hybrid (pure
-# auto reproduces the tuned optimum: 0.298 ms / 151.5 GF/s / 0.90 of
-# the stream roofline, docs/PERF_LOG.md round 3) plus the round-2
+# (strategy, params) candidates — the round-3 lane-ELL hybrid (idx8
+# measured 0.2796 ms / 161.6 GF/s / 0.85 of the stream roofline vs
+# ACTUAL streamed bytes, docs/PERF_LOG.md round 3) plus the round-2
 # fused-PELL configs as fallbacks.
 CANDIDATES = [
     # idx8: int8 index planes for <=2-strip planes (slot bytes 6 -> 5,
@@ -66,7 +66,7 @@ def main() -> int:
             "unit": "GFLOP/s", "vs_baseline": 0.0,
             "error": "TPU tunnel down (port 8093 unreachable); "
                      "see docs/PERF_LOG.md for the last measured "
-                     "numbers (151.5 GF/s, 0.90 of roofline)"}))
+                     "numbers (161.6 GF/s, 0.85 of roofline)"}))
         return 1
 
     import numpy as np
