@@ -34,6 +34,10 @@ STRATEGY_IDS = {
     "xla-csr-segsum-spmm": 8,
     "distributed-rowshard": 9,
     "pallas-pell-df64": 10,
+    "pallas-hybrid": 11,
+    "pallas-hybrid-df64": 12,
+    "pallas-chips": 13,
+    "pallas-hybrid-spmm": 14,
 }
 
 _HEADERS = {

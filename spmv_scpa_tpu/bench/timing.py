@@ -23,10 +23,13 @@ the reference's kernel-only cudaEvent window. Synchronization is a
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 
 @dataclass
@@ -38,6 +41,9 @@ class BenchResult:
     data: np.ndarray | None = None        # result vector y
     reps: int = 1
     all_ms: list = field(default_factory=list)
+    # True when the two-point measurement stayed degenerate after a
+    # retry (noisy host) — duration_ms is then a clamped lower bound.
+    suspect: bool = False
 
 
 def compute_gflops(nnz: int, duration_ms: float, ncols: int = 1) -> float:
@@ -140,17 +146,36 @@ def time_device_fn(raw_fn, x, *, args: tuple = (), nnz: int, ncols: int = 1,
         if k_next <= k:
             break
         k = k_next
-    # final two-point measurement
-    w_hi = _sync_run(run, x_d, k, args)
-    w_lo = _sync_run(run, x_d, max(k // 4, 1), args)
-    per_call = (w_hi - w_lo) / (k - max(k // 4, 1))
+    # Final two-point measurement. On a noisy host the difference can
+    # come out non-positive (the k//4 run hit a scheduling hiccup); a
+    # silent 1e-9 clamp would log an absurd GFLOPS row, so re-measure
+    # once and, if still degenerate, mark the row suspect instead of
+    # lying (reference analog: the cudaEvent window is immune to host
+    # noise by construction, cuda_timer.cu:11-21).
+    suspect = False
+    k_lo = max(k // 4, 1)
+    for attempt in range(2):
+        w_hi = _sync_run(run, x_d, k, args)
+        w_lo = _sync_run(run, x_d, k_lo, args)
+        per_call = (w_hi - w_lo) / (k - k_lo)
+        if per_call > 1e-9:
+            break
+        if attempt == 0:
+            log.warning("non-positive two-point timing (w_hi=%.6f <= "
+                        "w_lo=%.6f at k=%d/%d); re-measuring once",
+                        w_hi, w_lo, k, k_lo)
+    else:
+        suspect = True
+        log.warning("timing remains degenerate after retry; row marked "
+                    "suspect (per_call clamped)")
     per_call = max(per_call, 1e-9)
     ms = per_call * 1e3
 
     y = jax.jit(raw_fn)(x_d, *args)
     y = np.asarray(post(y) if post else y, dtype=np.float64)
     return BenchResult(ms, compute_gflops(nnz, ms, ncols), data=y,
-                       reps=k, all_ms=[w_lo * 1e3, w_hi * 1e3])
+                       reps=k, all_ms=[w_lo * 1e3, w_hi * 1e3],
+                       suspect=suspect)
 
 
 def time_prepared(prep, x, **kw) -> BenchResult:

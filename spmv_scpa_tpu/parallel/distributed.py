@@ -144,24 +144,23 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
 
     m, n = A.m, A.n
 
-    # matrix arrays travel as jit arguments, not baked-in constants
-    def raw(x, ja_a, as_a, seg_a, bounds_lo, bounds_hi):
+    # matrix arrays travel as jit arguments, not baked-in constants;
+    # shard bounds are host values (static slices in _unpad_rows), so
+    # they are NOT traced arguments.
+    def raw(x, ja_a, as_a, seg_a):
         y_pad = mapped(ja_a, as_a, seg_a, x)          # (n_dev, h)
-        # unpad: shard d covers rows [bounds[d], bounds[d+1]) —
-        # static slices (bounds are host values)
+        # unpad: shard d covers rows [bounds[d], bounds[d+1])
         return _unpad_rows(y_pad, bounds, m)
 
     jitted = jax.jit(raw)
-    extra = (jnp.asarray(bounds[:-1], jnp.int32),
-             jnp.asarray(bounds[1:], jnp.int32))
 
     def fn(x):
-        return jitted(x, ja_d, as_d, seg_d, *extra)
+        return jitted(x, ja_d, as_d, seg_d)
 
     out = RowShardedSpmv(mesh=mesh, fn=fn, m=m, n=n, nnz=A.nnz,
                          bounds=bounds, shard_nnz=shard_nnz)
     out.raw = raw
-    out.args = (ja_d, as_d, seg_d, *extra)
+    out.args = (ja_d, as_d, seg_d)
     return out
 
 

@@ -24,6 +24,34 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 from spmv_scpa_tpu import testing as synth  # noqa: E402
 
+# Two-tier suite: interpret-mode Pallas kernels on CPU are slow (the
+# full suite is ~20 min on a 1-core box). The heavy cases carry a
+# ``slow`` marker so `pytest -q -m "not slow"` is a <3-min sanity tier;
+# CI/judging runs the full suite. Tiers are assigned centrally here
+# (measured via --durations) instead of scattering decorators.
+_SLOW_FILES = (
+    "test_lane_ell.py",
+    "test_distributed.py",
+    "test_chips_tail.py",
+    "test_round3_mechanisms.py",
+)
+_SLOW_PREFIXES = (
+    "test_kernels.py::test_strategy_matches_oracle[pallas-",
+    "test_kernels.py::test_empty_windows_regression[pallas-",
+    "test_kernels.py::test_empty_rows_and_cols",
+    "test_kernels.py::test_pell_df64_fused_matches_oracle_tight",
+    "test_kernels.py::test_pell_superpanel_matches_oracle",
+    "test_kernels.py::test_spmm_",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.nodeid.split("/")[-1]
+        if name.split("::")[0] in _SLOW_FILES or \
+                any(name.startswith(p) for p in _SLOW_PREFIXES):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def matrices():

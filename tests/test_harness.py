@@ -70,3 +70,48 @@ def test_roofline_report_math():
         assert abs(rep.fraction_ideal - 0.2499999) < 1e-4
     finally:
         R._STREAM_CACHE.clear()
+
+
+def test_strategy_ids_cover_all_device_strategies():
+    """Every registered device strategy must have a stable kernel id so
+    cuda.csv rows never log kernel=-1 (the reference's kernel-id
+    semantics, logger.c:131-152; round-3 VERDICT gap)."""
+    from spmv_scpa_tpu.bench.logger import STRATEGY_IDS
+    from spmv_scpa_tpu.ops.registry import get_strategy, list_strategies
+
+    missing = [n for n in list_strategies()
+               if get_strategy(n).backend in ("xla", "pallas")
+               and n not in STRATEGY_IDS]
+    assert not missing, f"strategies without kernel ids: {missing}"
+    # ids must be unique (they are the CSV series key in plots.py)
+    ids = list(STRATEGY_IDS.values())
+    assert len(ids) == len(set(ids))
+
+
+def test_timing_guard_on_noisy_clock(monkeypatch):
+    """A host hiccup can make the two-point difference non-positive;
+    the timer must retry once and then mark the row suspect instead of
+    logging an absurd GFLOPS value (round-3 VERDICT weak 6)."""
+    import jax.numpy as jnp
+    from spmv_scpa_tpu.bench import timing as T
+
+    # deterministic "noisy" wall clock: w(k) constant -> per_call <= 0
+    calls = {"n": 0}
+
+    def fake_sync(run, x_d, k, args):
+        calls["n"] += 1
+        return 0.010  # every measurement takes exactly 10 ms
+
+    monkeypatch.setattr(T, "_sync_run", fake_sync)
+    res = T.time_device_fn(lambda x: x * 2.0, jnp.ones((8,)), nnz=100)
+    assert res.suspect
+    assert res.duration_ms <= 1e-5     # clamped, not negative/absurd
+
+    # healthy clock: linear in k -> not suspect
+    def good_sync(run, x_d, k, args):
+        return 1e-4 * k + 0.003
+
+    monkeypatch.setattr(T, "_sync_run", good_sync)
+    res2 = T.time_device_fn(lambda x: x * 2.0, jnp.ones((8,)), nnz=100)
+    assert not res2.suspect
+    assert abs(res2.duration_ms - 0.1) < 0.02
