@@ -65,7 +65,12 @@ H_CAP = ext_gather.H_MAX
 # stage-2 VPU budgets: each output sublane-row costs H*BC*3 (resident)
 # or R_h*BC*3 (windowed) ops; ~2 Tops VPU => 2e8 ops ~ 0.1 ms.
 VPU_BUDGET = 2e8
-SPLIT_VPU_BUDGET = 6e8
+# Per-stream cap for split plans: ~0.6 ms of VPU at ~2 Tops. Raised
+# from 6e8 in round 4 — the whole-matrix webbase plan needs a 7.4e8
+# loc stream (r_hot=104 x 18k tile rows), and the measured alternative
+# (hybrid + delegation) floors at 2.3-2.9 ms, so a 0.4-0.6 ms stream
+# is still the cheapest route for that regime.
+SPLIT_VPU_BUDGET = 1.2e9
 # default stage-1 window reach (panels); adaptive per unique spacing.
 R_PANELS = 512
 # windowed stage-2 reach (sublanes of the hot region) and resident-hot
@@ -178,11 +183,57 @@ class _Stream:
 
 class SplitChipsPlan:
     __slots__ = ("n_e", "h", "rows_per_step", "num_windows",
-                 "heavy_ids", "NH", "loc", "far")
+                 "heavy_ids", "NH", "loc", "far", "cold", "pop_k")
 
     def __init__(self, **kw):
+        kw.setdefault("cold", None)
+        kw.setdefault("pop_k", None)
         for k, v in kw.items():
             setattr(self, k, v)
+
+    @property
+    def streams(self):
+        return tuple(s for s in (self.loc, self.far, self.cold)
+                     if s is not None)
+
+
+def _placeholder_stream(kind_key: str, *, n: int, h: int,
+                        rows_per_step: int, num_windows: int,
+                        r_hot: int | None, r_far: int | None):
+    """Zero-entry stream with well-formed minimal shapes — a shard
+    missing a stream the SPMD set demands runs this instead: every
+    window still gets one step (the segsum zeroes a window's output
+    block at its first visit), every slot carries vals=0 so all
+    gathered values multiply away. Shapes are then padded to the
+    shared SPMD shapes by :func:`pad_split_plan` like any real
+    stream's."""
+    qps = (rows_per_step // 8) * BC
+    blk_w = np.zeros(1, np.int64)
+    _, _, wos, n_q_pad = _window_pack(blk_w, num_windows, h, qps)
+    steps = n_q_pad // qps
+    E8 = steps * rows_per_step
+    vals_a = np.zeros((E8, BC), np.float32)
+    p2 = np.zeros((E8, BC), np.int32)
+    l2 = np.zeros((E8, BC), np.int32)
+    rbl = np.full(n_q_pad, h, np.int32)
+    if kind_key == "loc":
+        rh = r_hot if r_hot else 16
+        return _Stream(kind="windowed-x", base1=None, p1=None, l1=None,
+                       n1p_blocks=0, r1=0, H=-(-n // BC), E8=E8,
+                       p2=p2, l2=l2, vals=vals_a, rbl=rbl,
+                       win_of_step=wos,
+                       base8=np.zeros(E8, np.int32),
+                       H_pad=-(-n // BC) + rh, r_hot=rh, n_entries=0)
+    r1 = r_far if r_far else R_PANELS
+    n_panels = -(-n // BC)
+    return _Stream(kind="resident",
+                   base1=np.zeros(1, np.int32),
+                   p1=np.zeros((8, BC), np.int32),
+                   l1=np.zeros((8, BC), np.int32),
+                   n1p_blocks=max(-(-n_panels // r1), 1), r1=r1,
+                   H=8, E8=E8, p2=p2, l2=l2, vals=vals_a, rbl=rbl,
+                   win_of_step=wos, base8=None, H_pad=8, r_hot=0,
+                   n_entries=0)
 
 
 def _heavy_index(rows: np.ndarray, by_len_only: bool):
@@ -327,11 +378,114 @@ def pad_resident_plan(plan: ChipsPlan, *, n_groups: int,
         heavy_ids=heavy, NH=NH)
 
 
+def split_shape_template(plans: list) -> dict:
+    """Shared SPMD shapes over several shards' ``SplitChipsPlan``s
+    (all planned with the same forced r_hot/r_far/r_cold/x_direct and
+    force_streams — the DECISIONS are program structure, the shapes
+    here are just padding targets)."""
+    tpl = {"NH": max(p.NH for p in plans),
+           "num_windows": max(p.num_windows for p in plans)}
+    for k in ("loc", "far", "cold"):
+        ss = [getattr(p, k) for p in plans]
+        if any(s is None for s in ss):
+            assert all(s is None for s in ss), \
+                f"stream '{k}' present on some shards only"
+            continue
+        ent = {"steps": max(s.E8 // p.rows_per_step
+                            + (tpl["num_windows"] - p.num_windows)
+                            for s, p in zip(ss, plans)),
+               "H_pad": max(s.H_pad for s in ss)}
+        assert len({s.kind for s in ss}) == 1, f"mixed '{k}' kinds"
+        if ss[0].kind != "windowed-x":          # has stage-1 tables
+            ent["n_groups"] = max(s.p1.shape[0] // 8 for s in ss)
+            ent["n1p_blocks"] = max(s.n1p_blocks for s in ss)
+            assert len({s.r1 for s in ss}) == 1, "unforced r1"
+        if ss[0].kind in ("windowed", "windowed-x"):
+            assert len({s.r_hot for s in ss}) == 1, "unforced r_hot"
+        tpl[k] = ent
+    return tpl
+
+
+def pad_split_plan(plan: SplitChipsPlan, tpl: dict,
+                   heavy_pad_pool: np.ndarray) -> SplitChipsPlan:
+    """Pad one shard's split plan to the shared template shapes (the
+    split-plan analog of :func:`pad_resident_plan`; same zero-
+    contribution padding arguments apply per stream)."""
+    h, rps = plan.h, plan.rows_per_step
+    qps = (rps // 8) * BC
+    nw = tpl["num_windows"]
+
+    def pad_stream(s: _Stream, ent: dict) -> _Stream:
+        steps = ent["steps"]
+        wos = list(s.win_of_step)
+        wos.extend(range(plan.num_windows, nw))
+        assert len(wos) <= steps, (len(wos), steps)
+        wos.extend([nw - 1] * (steps - len(wos)))
+        pad_e = steps * rps - s.E8
+        assert pad_e >= 0
+        vals = np.concatenate(
+            [s.vals, np.zeros((pad_e, BC), np.float32)])
+        p2 = np.concatenate([s.p2, np.zeros((pad_e, BC), np.int32)])
+        l2 = np.concatenate([s.l2, np.zeros((pad_e, BC), np.int32)])
+        rbl = np.concatenate(
+            [s.rbl, np.full(steps * qps - s.rbl.size, h, np.int32)])
+        kw = dict(kind=s.kind, n1p_blocks=s.n1p_blocks, r1=s.r1,
+                  H=s.H, E8=steps * rps, p2=p2, l2=l2, vals=vals,
+                  rbl=rbl, win_of_step=np.asarray(wos, np.int64),
+                  H_pad=ent["H_pad"], r_hot=s.r_hot,
+                  n_entries=s.n_entries, base1=s.base1, p1=s.p1,
+                  l1=s.l1, base8=s.base8)
+        if s.base8 is not None:             # windowed / windowed-x
+            kw["base8"] = np.concatenate(
+                [s.base8, np.zeros(pad_e, np.int32)])
+        if s.kind != "windowed-x":          # has stage-1 tables
+            pad_g = ent["n_groups"] - s.p1.shape[0] // 8
+            assert pad_g >= 0
+            kw["base1"] = np.concatenate(
+                [s.base1, np.zeros(pad_g, np.int32)])
+            kw["p1"] = np.concatenate(
+                [s.p1, np.zeros((pad_g * 8, BC), np.int32)])
+            kw["l1"] = np.concatenate(
+                [s.l1, np.zeros((pad_g * 8, BC), np.int32)])
+            kw["n1p_blocks"] = ent["n1p_blocks"]
+            kw["H"] = ent["n_groups"] * 8
+            if s.kind == "resident":
+                kw["H_pad"] = ent["n_groups"] * 8
+        return _Stream(**kw)
+
+    pad_n = tpl["NH"] - plan.NH
+    assert pad_n >= 0 and heavy_pad_pool.size >= pad_n
+    heavy = np.concatenate(
+        [plan.heavy_ids,
+         heavy_pad_pool[:pad_n].astype(plan.heavy_ids.dtype)])
+    out = {k: (pad_stream(getattr(plan, k), tpl[k])
+               if getattr(plan, k) is not None else None)
+           for k in ("loc", "far", "cold")}
+    return SplitChipsPlan(n_e=plan.n_e, h=h, rows_per_step=rps,
+                          num_windows=nw, heavy_ids=heavy,
+                          NH=tpl["NH"], **out)
+
+
 def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
                      rows_per_step: int = 8, w_loc: int = W_LOC,
-                     r_hot: int | None = None):
+                     r_hot: int | None = None,
+                     x_direct: bool | None = None,
+                     r_far: int | None = None,
+                     r_cold: int | None = None,
+                     pop_k: int | None = None,
+                     force_streams: tuple | None = None):
     """Local/far split plan (module docstring). Returns None when the
-    far side exceeds the resident budgets."""
+    far side exceeds the resident budgets. ``x_direct`` overrides the
+    automatic direct-x/dedup'd local-stream choice (tests).
+
+    The remaining keywords force per-shard plan DECISIONS to shared
+    values so several shards compile to ONE SPMD program
+    (parallel/distributed.py): ``r_far``/``r_cold`` pin the far/cold
+    stage-1 window reach, ``pop_k`` pins the popularity-split cutoff
+    (0 = no split), and ``force_streams`` (subset of {"loc", "far",
+    "cold"}) demands exactly that set of streams — a shard missing one
+    gets a zero-entry placeholder (every slot carries vals=0), and a
+    shard needing one NOT in the set fails (returns None)."""
     n_e = int(rows.size)
     if n_e == 0:
         return None
@@ -357,24 +511,50 @@ def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
         return bw
 
     # ---- LOCAL stream (windowed stage-2) -----------------------------
+    # Two gather sources, picked by whether x itself fits the windowed
+    # kernel's resident cap:
+    #
+    # * **direct-x** (``windowed-x``): the resident region IS x padded
+    #   to (H_pad, 128) — no stage-1, no dedup. Near-diagonal spill
+    #   entries barely dedup (webbase: 725k entries -> 523k uniques,
+    #   1.4x) while dedup'd hot POSITIONS stay as spread as raw
+    #   columns, so the old dedup'd path paid r_hot = 256-512 sublane
+    #   passes per chip row — the measured 1.67 ms on the webbase
+    #   archetype's 851k-entry tail (docs/PERF_LOG.md round 3). Raw
+    #   diagonal windows span <= the locality band: r_hot ~ 32.
+    # * **dedup'd hot** (``windowed``): the round-3 path, kept for
+    #   n past the VMEM cap (stage-1 compacts columns first).
     stream_l = None
     migrate = np.zeros(n_e, bool)
+    if x_direct is None:
+        x_direct = -(-n // BC) + (r_hot or 512) <= H_WIN_CAP
     if loc.any():
-        uniq_l = np.unique(cols[loc])
-        r1l = _adaptive_r(uniq_l)
-        base1, p1, l1, posu, Hl, ngl, n1pb = _pack_sorted_uniques(
-            uniq_l, n, r1l)
-        if Hl + (r_hot or 512) > H_WIN_CAP:
-            return None
+        if x_direct:
+            base1 = p1 = l1 = None
+            ngl, n1pb, r1l, Hl = 0, 0, 0, -(-n // BC)
+        else:
+            uniq_l = np.unique(cols[loc])
+            r1l = _adaptive_r(uniq_l)
+            base1, p1, l1, posu, Hl, ngl, n1pb = _pack_sorted_uniques(
+                uniq_l, n, r1l)
+            if Hl + (r_hot or 512) > H_WIN_CAP:
+                return None
         blk_wl = _blk_w(_cnt_per_hpos(loc))
-        # Round every block's quanta up to full tiles (BC quanta) so a
-        # tile never crosses blocks: each table row then holds 128
-        # consecutive column-sorted entries of ONE row, whose hot
-        # positions are non-decreasing — tight per-tile windows even
-        # for mid-length rows whose diagonals are far apart (measured:
-        # unpadded tiles mixed ~40 narrow blocks and spanned 4.5k hot
-        # sublanes; padded spans track the row's own locality, ~30).
-        blk_wl = np.where(blk_wl > 0, -(-blk_wl // BC) * BC, 0)
+        # Quanta padding policy differs by gather source:
+        #
+        # * dedup'd hot: round every block's quanta up to full tiles
+        #   (BC quanta) so a tile never crosses blocks — hot POSITIONS
+        #   are dedup-rank space, where only one row's consecutive
+        #   sorted entries are window-tight (measured: unpadded tiles
+        #   mixed ~40 narrow blocks and spanned 4.5k hot sublanes).
+        # * direct-x: NO rounding. Positions are raw columns and
+        #   heavy rows are (log2 len, row id)-sorted (_heavy_index),
+        #   so a tile mixing several adjacent blocks spans nearby
+        #   diagonals anyway — while the round-up explodes short-row
+        #   tails (webbase: 1.16M local entries -> 4.98M quanta,
+        #   fill 0.23, failing SPLIT_VPU_BUDGET outright).
+        if not x_direct:
+            blk_wl = np.where(blk_wl > 0, -(-blk_wl // BC) * BC, 0)
         new_q, rbl_src, wos, n_q_pad = _window_pack(
             blk_wl, num_windows, h, qps)
         blk_q0 = np.concatenate([[0], np.cumsum(blk_wl)])
@@ -386,7 +566,10 @@ def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
         tile = q_of_e // BC
         lane = q_of_e % BC
         erow = tile * 8 + sub[li]
-        pos_e = posu[np.searchsorted(uniq_l, cols[li])]
+        if x_direct:
+            pos_e = cols[li]              # x-space positions directly
+        else:
+            pos_e = posu[np.searchsorted(uniq_l, cols[li])]
         psub = pos_e // BC
         # per-TABLE-ROW window base, 8-sublane units (each table row
         # holds one heavy row's consecutive column-sorted entries, so
@@ -400,12 +583,13 @@ def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
         off = psub - base8[erow].astype(np.int64) * 8
         if r_hot is None:
             # adaptive reach: cover ~97% of entries (the rest migrate
-            # to the far stream), pow2-rounded; the windowed gather's
-            # VPU cost is O(E8 * r_hot) so small spans pay directly
+            # to the far stream), rounded to a multiple of 8 — Mosaic
+            # dynamic slices take any 8-aligned static size, and the
+            # windowed gather's VPU cost is O(E8 * r_hot) so every
+            # sublane of slack pays directly (pow2 rounding cost the
+            # webbase whole-matrix plan a 64-vs-40 reach = 1.6x VPU)
             tgt = int(np.percentile(off, 97)) + 1 if off.size else 1
-            r_hot = 32
-            while r_hot < tgt and r_hot < 512:
-                r_hot *= 2
+            r_hot = int(min(max(-(-tgt // 8) * 8, 16), 512))
         if E8 * r_hot * BC * 3 > SPLIT_VPU_BUDGET:
             return None
         fits = off < r_hot
@@ -420,30 +604,31 @@ def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
         rbl = np.full(n_q_pad, h, np.int32)
         rbl[new_q] = rbl_src
         H_pad = int(base8.max(initial=0)) * 8 + r_hot
-        stream_l = _Stream(kind="windowed", base1=base1, p1=p1, l1=l1,
+        stream_l = _Stream(kind="windowed-x" if x_direct else
+                           "windowed", base1=base1, p1=p1, l1=l1,
                            n1p_blocks=n1pb, r1=r1l, H=Hl, E8=E8,
                            p2=p2, l2=l2, vals=vals_a, rbl=rbl,
                            win_of_step=wos, base8=base8, H_pad=H_pad,
                            r_hot=r_hot, n_entries=int(fits.sum()))
 
-    # ---- FAR stream (resident stage-2) -------------------------------
-    far = (~loc) | migrate
-    stream_f = None
-    if far.any():
-        uniq_f = np.unique(cols[far])
+    # ---- FAR stream(s) (resident stage-2) ----------------------------
+    def _resident_stream(sel, r_cap=None):
+        """Build one resident-gather stream for the entries in ``sel``;
+        None when its dedup'd columns bust the resident/VPU budgets."""
+        uniq_f = np.unique(cols[sel])
         if -(-uniq_f.size // BC) > H_CAP:
             return None
-        r1f = _adaptive_r(uniq_f)
+        r1f = r_cap if r_cap is not None else _adaptive_r(uniq_f)
         base1, p1, l1, posu, Hf, ngf, n1pb = _pack_sorted_uniques(
             uniq_f, n, r1f)
         if Hf > H_CAP:
             return None
-        blk_wf = _blk_w(_cnt_per_hpos(far))
+        blk_wf = _blk_w(_cnt_per_hpos(sel))
         new_q, rbl_src, wos, n_q_pad = _window_pack(
             blk_wf, num_windows, h, qps)
         blk_q0 = np.concatenate([[0], np.cumsum(blk_wf)])
-        rank_f = _subset_ranks(far, e_row_i, NH)
-        fi = np.flatnonzero(far)
+        rank_f = _subset_ranks(sel, e_row_i, NH)
+        fi = np.flatnonzero(sel)
         q_of_e = new_q[blk_q0[blk[fi]] + rank_f[fi]]
         steps = n_q_pad // qps
         E8 = steps * rows_per_step
@@ -461,46 +646,141 @@ def plan_chips_split(rows, cols, vals, m, n, h: int = 256,
         l2[erow, lane] = (pos_e % BC).astype(np.int32)
         rbl = np.full(n_q_pad, h, np.int32)
         rbl[new_q] = rbl_src
-        stream_f = _Stream(kind="resident", base1=base1, p1=p1, l1=l1,
-                           n1p_blocks=n1pb, r1=r1f, H=Hf, E8=E8,
-                           p2=p2, l2=l2, vals=vals_a, rbl=rbl,
-                           win_of_step=wos, base8=None, H_pad=Hf,
-                           r_hot=0, n_entries=int(far.sum()))
+        return _Stream(kind="resident", base1=base1, p1=p1, l1=l1,
+                       n1p_blocks=n1pb, r1=r1f, H=Hf, E8=E8,
+                       p2=p2, l2=l2, vals=vals_a, rbl=rbl,
+                       win_of_step=wos, base8=None, H_pad=Hf,
+                       r_hot=0, n_entries=int(sel.sum()))
 
-    if stream_l is None and stream_f is None:
+    far = (~loc) | migrate
+    stream_f = stream_c = None
+    used_k = 0 if pop_k is None else pop_k
+    if far.any():
+        erank = None
+        if pop_k is None or pop_k > 0:
+            # Popularity ranks: webbase-class hub entries follow a Zipf
+            # law, so a small set of popular columns carries nearly all
+            # far ENTRIES while the dedup'd column COUNT (which sets
+            # both the resident height H and the O(H)-per-row VPU cost)
+            # is dominated by the cold once-referenced tail. Splitting
+            # by per-column entry count gives a hot stream with tiny H
+            # (top columns dedup hard) and a cold stream whose few
+            # entries afford a taller H — each within the budgets a
+            # single stream busts.
+            uf, inv_f = np.unique(cols[far], return_inverse=True)
+            cnt_f = np.bincount(inv_f)
+            pop = np.argsort(-cnt_f, kind="stable")   # unique ids
+            rank_of_u = np.empty(uf.size, np.int64)
+            rank_of_u[pop] = np.arange(uf.size)
+            erank = np.zeros(n_e, np.int64)
+            erank[far] = rank_of_u[inv_f]             # popularity rank
+        if pop_k is not None:                # forced decision (SPMD)
+            if pop_k == 0:
+                stream_f = _resident_stream(far, r_far)
+                if stream_f is None:
+                    return None
+            else:
+                hot_sel = far & (erank < pop_k)
+                cold_sel = far & (erank >= pop_k)
+                if hot_sel.any():
+                    stream_f = _resident_stream(hot_sel, r_far)
+                    if stream_f is None:
+                        return None
+                if cold_sel.any():
+                    stream_c = _resident_stream(cold_sel, r_cold)
+                    if stream_c is None:
+                        return None
+        else:
+            stream_f = _resident_stream(far, r_far)
+            if stream_f is None:
+                # smallest feasible hot set wins (the hot stream's
+                # cost scales with H_hot)
+                for K in (256, 1024, 4096, 16384, 65536, H_CAP * BC):
+                    if K >= uf.size:
+                        break            # no split left to try
+                    hot_sel = far & (erank < K)
+                    cold_sel = far & (erank >= K)
+                    s_h = (_resident_stream(hot_sel, r_far)
+                           if hot_sel.any() else None)
+                    s_c = _resident_stream(cold_sel, r_cold)
+                    if s_h is not None and s_c is not None:
+                        stream_f, stream_c, used_k = s_h, s_c, K
+                        break
+                if stream_f is None:
+                    return None
+
+    if stream_l is None and stream_f is None and stream_c is None:
         return None
-    return SplitChipsPlan(n_e=n_e, h=h, rows_per_step=rows_per_step,
+    plan = SplitChipsPlan(n_e=n_e, h=h, rows_per_step=rows_per_step,
                           num_windows=num_windows,
                           heavy_ids=hr_sorted, NH=NH,
-                          loc=stream_l, far=stream_f)
+                          loc=stream_l, far=stream_f, cold=stream_c,
+                          pop_k=used_k)
+    if force_streams is not None:
+        have = {k for k, s in (("loc", stream_l), ("far", stream_f),
+                               ("cold", stream_c)) if s is not None}
+        want = set(force_streams)
+        if have - want:
+            return None          # shard needs a stream the set lacks
+        for k in want - have:
+            s = _placeholder_stream(
+                k, n=n, h=h, rows_per_step=rows_per_step,
+                num_windows=num_windows, r_hot=r_hot,
+                r_far=r_far if k == "far" else r_cold)
+            setattr(plan, k, s)
+    return plan
 
 
 def _prepare_stream(s: _Stream, n: int, h: int, rows_per_step: int,
                     num_windows: int, dtype, interpret: bool):
     """Device pipeline for one stream: returns (fn(x)->ys, args)."""
-    ng1 = s.p1.shape[0] // 8
-    s1 = ext_gather.make_sorted_gather(ng1, s.n1p_blocks, s.r1, dtype,
-                                       interpret)
-    if s.kind == "windowed":
+    kind = s.kind
+    if kind == "windowed-x":
+        # direct-x windowed gather: the resident region IS x itself
+        # (padded to the window reach) — no stage-1, no dedup tables.
+        s1 = None
         s2 = ext_gather.make_resident_window_gather(
             s.E8 // 8, s.r_hot, s.H_pad, dtype, interpret)
     else:
-        s2 = ext_gather.make_ranked_gather(s.H, s.E8, dtype, interpret)
+        ng1 = s.p1.shape[0] // 8
+        s1 = ext_gather.make_sorted_gather(ng1, s.n1p_blocks, s.r1,
+                                           dtype, interpret)
+        if kind == "windowed":
+            s2 = ext_gather.make_resident_window_gather(
+                s.E8 // 8, s.r_hot, s.H_pad, dtype, interpret)
+        else:
+            s2 = ext_gather.make_ranked_gather(s.H, s.E8, dtype,
+                                               interpret)
     seg_fn, seg_args = make_window_segsum(
         win_of_step=s.win_of_step, num_windows=num_windows, h=h,
         rows_per_step=rows_per_step, nq=BC, total_tile_rows=s.E8,
         dtype=dtype, interpret=interpret)
-    n1 = s.n1p_blocks * s.r1 * BC
-    dev = [jax.device_put(jnp.asarray(a)) for a in
-           (s.base1, s.p1, s.l1, s.p2, s.l2)]
+    dev = []
+    if s1 is not None:
+        dev.extend(jax.device_put(jnp.asarray(a)) for a in
+                   (s.base1, s.p1, s.l1))
+    dev.extend(jax.device_put(jnp.asarray(a)) for a in (s.p2, s.l2))
     dev.append(jax.device_put(jnp.asarray(s.vals, dtype)))
     dev.append(jax.device_put(jnp.asarray(s.rbl, jnp.int32)))
-    if s.kind == "windowed":
+    if kind in ("windowed", "windowed-x"):
         dev.append(jax.device_put(jnp.asarray(s.base8)))
     dev.extend(seg_args)
     n_args = len(dev)
+    if kind == "windowed-x":
+        nx = min(n, s.H_pad * BC)
+
+        def fn(x, *a):
+            p2, l2, vals, rbl, base8, *seg_a = a
+            xp = jnp.zeros((s.H_pad * BC,), dtype) \
+                .at[:nx].set(x[:nx].astype(dtype))
+            xg = s2(base8, xp.reshape(s.H_pad, BC), p2, l2)
+            return seg_fn(vals * xg, rbl, *seg_a)
+
+        return fn, tuple(dev), n_args
+
+    n1 = s.n1p_blocks * s.r1 * BC
+    ng1 = s.p1.shape[0] // 8
     pad_h = s.H_pad - ng1 * 8
-    kind = s.kind
 
     def fn(x, *a):
         base1, p1, l1, p2, l2, vals, rbl = a[:7]
@@ -570,11 +850,10 @@ def prepare_chips(plan, n: int, dtype, interpret: bool):
 
 def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
     parts = []
-    for s in (plan.loc, plan.far):
-        if s is not None:
-            parts.append(_prepare_stream(
-                s, n, plan.h, plan.rows_per_step, plan.num_windows,
-                dtype, interpret))
+    for s in plan.streams:
+        parts.append(_prepare_stream(
+            s, n, plan.h, plan.rows_per_step, plan.num_windows,
+            dtype, interpret))
     hid_d = jax.device_put(jnp.asarray(plan.heavy_ids, jnp.int32))
     NH = plan.NH
 
@@ -590,9 +869,31 @@ def _prepare_chips_split(plan: SplitChipsPlan, n, dtype, interpret):
 
     args = (hid_d,) + tuple(d for _, dev, _ in parts for d in dev)
     hbm = sum(s.E8 * BC * 16 + s.H_pad * BC * 4
-              for s in (plan.loc, plan.far) if s is not None) \
-        + plan.NH * 4
+              for s in plan.streams) + plan.NH * 4
     return raw_contrib, args, int(hbm)
+
+
+def split_plan_host_args(plan: SplitChipsPlan, dtype) -> list:
+    """Host-side argument arrays in exactly the order
+    :func:`_prepare_chips_split` device-puts them — the distributed
+    builder stacks these per shard into ONE sharded device_put
+    (parallel/distributed.py) and runs every shard's stack through the
+    program built from shard 0's plan."""
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    out = [np.asarray(plan.heavy_ids, np.int32)]
+    for s in plan.streams:
+        if s.kind != "windowed-x":
+            out += [np.asarray(s.base1, np.int32),
+                    np.asarray(s.p1, np.int32),
+                    np.asarray(s.l1, np.int32)]
+        out += [np.asarray(s.p2, np.int32),
+                np.asarray(s.l2, np.int32),
+                np.asarray(s.vals, np_dt),
+                np.asarray(s.rbl, np.int32)]
+        if s.kind in ("windowed", "windowed-x"):
+            out.append(np.asarray(s.base8, np.int32))
+        out.append(np.asarray(s.win_of_step, np.int32))
+    return out
 
 
 def _merge_h8(NH: int) -> int:
@@ -823,8 +1124,9 @@ def prepare_chips_strategy(A, dtype=jnp.float32,
     if split:
         meta["loc_entries"] = plan.loc.n_entries if plan.loc else 0
         meta["far_entries"] = plan.far.n_entries if plan.far else 0
-        meta["hot_h"] = (plan.loc.H if plan.loc else 0,
-                         plan.far.H if plan.far else 0)
+        meta["cold_entries"] = (plan.cold.n_entries if plan.cold
+                                else 0)
+        meta["hot_h"] = tuple(s.H_pad for s in plan.streams)
     else:
         meta["hot_h"] = plan.H
         meta["gather_groups"] = plan.n_groups

@@ -1358,6 +1358,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             from spmv_scpa_tpu.ops import chips_tail
             plan_c = chips_tail.plan_chips(trows, tcols, tvals, m, n)
             if (plan_c is not None and tail_nnz > BIG_TAIL
+                    and "forcechips" not in diag
                     and isinstance(plan_c, chips_tail.SplitChipsPlan)):
                 # Split-mode chips pay O(entries x window) one-hot
                 # gathers — measured 1.67 ms for the webbase
@@ -1387,8 +1388,10 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                                     if plan_c.loc else 0),
                     "far_entries": (plan_c.far.n_entries
                                     if plan_c.far else 0),
-                    "hot_h": (plan_c.loc.H if plan_c.loc else 0,
-                              plan_c.far.H if plan_c.far else 0)}
+                    "cold_entries": (plan_c.cold.n_entries
+                                     if plan_c.cold else 0),
+                    "hot_h": tuple(s.H_pad
+                                   for s in plan_c.streams)}
             else:
                 chips_meta = {
                     "heavy_rows": plan_c.NH, "hot_h": plan_c.H,

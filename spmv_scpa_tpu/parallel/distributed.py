@@ -164,7 +164,8 @@ def prepare_row_sharded(A: CSR, mesh=None, n_shards: int | None = None,
     return out
 
 
-def _plan_sharded_chips(cores, h_rows: int, n: int):
+def _plan_sharded_chips(cores, h_rows: int, n: int,
+                        split_only: bool = False):
     """Per-shard resident chips plans unified to ONE SPMD shape.
 
     Row-sharding SHRINKS each shard's tail into the cheap resident
@@ -191,6 +192,9 @@ def _plan_sharded_chips(cores, h_rows: int, n: int):
         tails.append((np.asarray(tr, np.int64),
                       np.asarray(tc, np.int64), tv))
 
+    if split_only:                 # forced (tail_kind="chips-split")
+        return _plan_sharded_split(tails, h_rows, n)
+
     def _plan_all(r_cap):
         ps = []
         for tr, tc, tv in tails:
@@ -203,12 +207,12 @@ def _plan_sharded_chips(cores, h_rows: int, n: int):
 
     plans = _plan_all(None)
     if plans is None:
-        return None
+        return _plan_sharded_split(tails, h_rows, n)
     R = max(p.R for p in plans)         # stage-1 reach: static shape
     if any(p.R != R for p in plans):
         plans = _plan_all(R)
         if plans is None:
-            return None
+            return _plan_sharded_split(tails, h_rows, n)
 
     ng = max(p.n_groups for p in plans)
     n1p = max(p.n1p_blocks for p in plans)
@@ -217,7 +221,7 @@ def _plan_sharded_chips(cores, h_rows: int, n: int):
     steps = max(p.E8 // p.rows_per_step + (nw - p.num_windows)
                 for p in plans)
     if steps * 8 * ng * 8 * 128 * 3 > CT.SPLIT_VPU_BUDGET:
-        return None                      # post-unification VPU cost
+        return _plan_sharded_split(tails, h_rows, n)
     out = []
     for p in plans:
         pool = np.setdiff1d(np.arange(h_rows, dtype=np.int64),
@@ -225,6 +229,50 @@ def _plan_sharded_chips(cores, h_rows: int, n: int):
         out.append(CT.pad_resident_plan(
             p, n_groups=ng, n1p_blocks=n1p, steps=steps,
             num_windows=nw, NH=NH, heavy_pad_pool=pool))
+    return out
+
+
+def _plan_sharded_split(tails, h_rows: int, n: int):
+    """SPMD unification of SPLIT chips plans (round 4, VERDICT r3
+    item 4): a webbase-class shard tail whose dedup'd columns bust the
+    resident caps rides the windowed-x local stream plus the
+    popularity-split far/cold residents (ops/chips_tail.py). Every
+    plan DECISION — the direct-x mode, the windowed reach r_hot, the
+    stage-1 reaches, the popularity cutoff, the stream set — is forced
+    to one shared value across shards so they compile to ONE program;
+    the remaining per-shard differences are shapes, padded by
+    ``pad_split_plan``. Returns a list of padded SplitChipsPlan or
+    None (caller keeps the XLA segment-sum tail)."""
+    from spmv_scpa_tpu.ops import chips_tail as CT
+
+    frees = [CT.plan_chips_split(tr, tc, tv, h_rows, n)
+             for tr, tc, tv in tails]
+    if any(f is None for f in frees):
+        return None
+    r_hot = max((f.loc.r_hot for f in frees if f.loc), default=16)
+    if -(-n // 128) + r_hot > CT.H_WIN_CAP:
+        # the shared loc stream would need the dedup'd windowed mode,
+        # whose per-shard stage-1 reach is another decision to unify —
+        # not wired yet; beyond ~2M columns keep the XLA tail
+        return None
+    r_far = max((f.far.r1 for f in frees if f.far), default=None)
+    r_cold = max((f.cold.r1 for f in frees if f.cold), default=None)
+    pop_k = max(f.pop_k for f in frees)
+    names = tuple(sorted(set().union(*(
+        {k for k in ("loc", "far", "cold")
+         if getattr(f, k) is not None} for f in frees))))
+    plans = [CT.plan_chips_split(
+        tr, tc, tv, h_rows, n, x_direct=True, r_hot=r_hot,
+        r_far=r_far, r_cold=r_cold, pop_k=pop_k, force_streams=names)
+        for tr, tc, tv in tails]
+    if any(p is None for p in plans):
+        return None
+    tpl = CT.split_shape_template(plans)
+    out = []
+    for p in plans:
+        pool = np.setdiff1d(np.arange(h_rows, dtype=np.int64),
+                            p.heavy_ids, assume_unique=False)
+        out.append(CT.pad_split_plan(p, tpl, pool))
     return out
 
 
@@ -518,25 +566,8 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         from spmv_scpa_tpu.ops.segsum_kernel import make_window_segsum
 
         p0 = cplans[0]
-        NH, E8 = p0.NH, p0.E8
-        s1c = ext_gather.make_sorted_gather(
-            p0.n_groups, p0.n1p_blocks, p0.R, dtype, interpret)
-        s2c = ext_gather.make_ranked_gather(p0.H, E8, dtype, interpret)
-        seg_fn, _ = make_window_segsum(
-            win_of_step=p0.win_of_step, num_windows=p0.num_windows,
-            h=p0.h, rows_per_step=p0.rows_per_step, nq=BC,
-            total_tile_rows=E8, dtype=dtype, interpret=interpret)
-        n1 = p0.n1p_blocks * p0.R * BC
-        NL = max(NL, n1)         # the shared gframe must cover it
-        stack_np += [
-            (np.stack([p.base for p in cplans]), jnp.int32),
-            (np.stack([p.p1 for p in cplans]), jnp.int32),
-            (np.stack([p.l1 for p in cplans]), jnp.int32),
-            (np.stack([p.p2 for p in cplans]), jnp.int32),
-            (np.stack([p.l2 for p in cplans]), jnp.int32),
-            (np.stack([p.vals for p in cplans]), dtype),
-            (np.stack([p.rbl for p in cplans]), jnp.int32),
-            (np.stack([p.win_of_step for p in cplans]), jnp.int32)]
+        NH = p0.NH
+        split_mode = isinstance(p0, CT.SplitChipsPlan)
         # zero-scatter merge of heavy-row sums into the dense local y:
         # per-shard host tables (chips_tail.merge_tables), ONE apply
         # program (shapes are NH/G_pad-unified); scatter fallback
@@ -546,27 +577,78 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
         use_merge = all(t is not None for t in mtabs)
         apply_m = CT.make_merge_apply(NH, h_rows, G_pad, dtype,
                                       interpret, use_merge)
-        if use_merge:
-            stack_np += [
-                (np.stack([t[0] for t in mtabs]), jnp.int32),
-                (np.stack([t[1] for t in mtabs]), jnp.int32)]
-        else:
-            stack_np.append(
-                (np.stack([p.heavy_ids for p in cplans]), jnp.int32))
+        mt_np = ([(np.stack([t[0] for t in mtabs]), jnp.int32),
+                  (np.stack([t[1] for t in mtabs]), jnp.int32)]
+                 if use_merge else [])
 
-        def local(xpad, vals, *rest):
-            idxs, r0 = rest[:NI], rest[NI]
-            rest = rest[NI + 1:]
-            eargs, targs = rest[:n_ext_args], rest[n_ext_args:]
-            (cb, cp1, cl1, cp2, cl2, cv, crbl, cwin), mt = \
-                targs[:8], targs[8:]
-            y = core_y(xpad, vals, idxs, r0, eargs)
-            x1 = gframe(xpad, n1)
-            hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
-            xg = s2c(hot, cp2[0], cl2[0])
-            ys = seg_fn(cv[0] * xg, crbl[0],
-                        cwin[0]).reshape(-1)[:NH]
-            return apply_m(y, ys, *(t[0] for t in mt))[None, :]
+        if split_mode:
+            # Round-4 split tails (webbase-class shards): the stream
+            # programs come from shard 0's padded plan; every other
+            # shard ships the same-shaped tables (chips_tail
+            # .pad_split_plan) through the stacked args.
+            c_raw, args0, _ = CT._prepare_chips_split(
+                p0, A.n, dtype, interpret)
+            n_targs = len(args0)
+            for i, hosts in enumerate(zip(*(
+                    CT.split_plan_host_args(p, dtype)
+                    for p in cplans))):
+                st = np.stack(hosts)
+                assert st.shape[1:] == args0[i].shape, \
+                    (i, st.shape, args0[i].shape)
+                stack_np.append((st, args0[i].dtype))
+            stack_np += mt_np
+
+            def local(xpad, vals, *rest):
+                idxs, r0 = rest[:NI], rest[NI]
+                rest = rest[NI + 1:]
+                eargs, targs = rest[:n_ext_args], rest[n_ext_args:]
+                ctail, mt = targs[:n_targs], targs[n_targs:]
+                y = core_y(xpad, vals, idxs, r0, eargs)
+                xg = jax.lax.slice(xpad, (loc_w,), (loc_w + A.n,))
+                ys, hid = c_raw(xg, *(t[0] for t in ctail))
+                if use_merge:
+                    return apply_m(y, ys, *(t[0] for t in mt))[None, :]
+                return apply_m(y, ys, hid)[None, :]
+        else:
+            E8 = p0.E8
+            s1c = ext_gather.make_sorted_gather(
+                p0.n_groups, p0.n1p_blocks, p0.R, dtype, interpret)
+            s2c = ext_gather.make_ranked_gather(p0.H, E8, dtype,
+                                                interpret)
+            seg_fn, _ = make_window_segsum(
+                win_of_step=p0.win_of_step, num_windows=p0.num_windows,
+                h=p0.h, rows_per_step=p0.rows_per_step, nq=BC,
+                total_tile_rows=E8, dtype=dtype, interpret=interpret)
+            n1 = p0.n1p_blocks * p0.R * BC
+            NL = max(NL, n1)     # the shared gframe must cover it
+            stack_np += [
+                (np.stack([p.base for p in cplans]), jnp.int32),
+                (np.stack([p.p1 for p in cplans]), jnp.int32),
+                (np.stack([p.l1 for p in cplans]), jnp.int32),
+                (np.stack([p.p2 for p in cplans]), jnp.int32),
+                (np.stack([p.l2 for p in cplans]), jnp.int32),
+                (np.stack([p.vals for p in cplans]), dtype),
+                (np.stack([p.rbl for p in cplans]), jnp.int32),
+                (np.stack([p.win_of_step for p in cplans]), jnp.int32)]
+            stack_np += mt_np
+            if not use_merge:
+                stack_np.append(
+                    (np.stack([p.heavy_ids for p in cplans]),
+                     jnp.int32))
+
+            def local(xpad, vals, *rest):
+                idxs, r0 = rest[:NI], rest[NI]
+                rest = rest[NI + 1:]
+                eargs, targs = rest[:n_ext_args], rest[n_ext_args:]
+                (cb, cp1, cl1, cp2, cl2, cv, crbl, cwin), mt = \
+                    targs[:8], targs[8:]
+                y = core_y(xpad, vals, idxs, r0, eargs)
+                x1 = gframe(xpad, n1)
+                hot = s1c(cb[0], x1.reshape(-1, BC), cp1[0], cl1[0])
+                xg = s2c(hot, cp2[0], cl2[0])
+                ys = seg_fn(cv[0] * xg, crbl[0],
+                            cwin[0]).reshape(-1)[:NH]
+                return apply_m(y, ys, *(t[0] for t in mt))[None, :]
     else:
         stack_np += [(seg_a, jnp.int32), (tc_a, jnp.int32),
                      (tv_a, dtype)]

@@ -222,7 +222,9 @@ def test_chips_split_mode_validates():
     plan = chips_tail.plan_chips_split(
         rows, cols, A.as_.astype(np.float32), A.m, A.n)
     assert plan is not None
-    assert plan.loc is not None and plan.loc.kind == "windowed"
+    # small n fits the direct-x cap -> the round-4 windowed-x local
+    # stream (both kinds covered by test_round3_mechanisms)
+    assert plan.loc is not None and plan.loc.kind == "windowed-x"
     c_raw, c_args, _ = chips_tail.prepare_chips(
         plan, A.n, jnp.float32, True)
     x = make_x(A.n)
