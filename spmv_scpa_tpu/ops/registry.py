@@ -157,10 +157,20 @@ def pick_auto(A: CSR) -> str:
     (flagship: 151.5 vs 82.9 GF/s; docs/PERF_LOG.md round 3) and the
     resident x fits VMEM; otherwise PELL (column-striped fused path
     for large n, windowed one-hot epilogue for pure scatter). On CPU
-    backends XLA segment-sum is fine."""
+    backends XLA segment-sum is fine.
+
+    Tiny-matrix (launch-bound) regime: below ~0.5M dense elements the
+    dense matvec beats every sparse path — measured on v5e
+    (scripts/tpu_tiny_r4.py, docs/PERF_LOG.md round 4): cage4-ish
+    0.76 us dense vs 1.7-9.4 us sparse; mhda416-ish 14.9 GF/s dense
+    vs 5.2 best-sparse; by olm1000-ish (1M dense elements) the
+    hybrid already wins. Matches the reference's launch-bound rows
+    (cuda_best_csr_hll.png, ~0-2 GF/s on cage4/olm1000/west2021)."""
     from spmv_scpa_tpu.utils.platform import is_tpu
     if not is_tpu():
         return "xla-csr-segsum"
+    if A.m * A.n <= 500_000:
+        return "xla-dense"
     if A.nnz:
         # resident-x bound of the hybrid (lane_ell.X_VMEM_BUDGET):
         # ~2.5M padded columns/rows of f32

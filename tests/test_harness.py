@@ -115,3 +115,23 @@ def test_timing_guard_on_noisy_clock(monkeypatch):
     res2 = T.time_device_fn(lambda x: x * 2.0, jnp.ones((8,)), nnz=100)
     assert not res2.suspect
     assert abs(res2.duration_ms - 0.1) < 0.02
+
+
+def test_pick_auto_routes_tiny_to_dense(monkeypatch):
+    """Launch-bound regime: sub-0.5M-dense-element matrices go to
+    xla-dense on TPU (measured: scripts/tpu_tiny_r4.py — dense wins
+    cage4/mhda416 scale, loses by olm1000 scale)."""
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops import registry
+    from spmv_scpa_tpu.utils import platform
+
+    monkeypatch.setattr(platform, "is_tpu", lambda: True)
+    monkeypatch.setattr(registry, "is_tpu", lambda: True, raising=False)
+
+    tiny = synth.random_csr(9, density=0.6, seed=4)            # cage4
+    mid = synth.random_csr(416, density=0.05, seed=5)          # mhda416
+    big = synth.banded_csr(1000, row_nnz=4, bandwidth=6, seed=6)
+
+    assert registry.pick_auto(tiny) == "xla-dense"
+    assert registry.pick_auto(mid) == "xla-dense"
+    assert registry.pick_auto(big) != "xla-dense"
