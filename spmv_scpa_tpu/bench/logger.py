@@ -38,6 +38,7 @@ STRATEGY_IDS = {
     "pallas-hybrid-df64": 12,
     "pallas-chips": 13,
     "pallas-hybrid-spmm": 14,
+    "pallas-xpose": 15,
 }
 
 _HEADERS = {

@@ -349,3 +349,5 @@ def _ensure_builtin():
     # (e.g. stripped builds) but not real import errors.
     from spmv_scpa_tpu.ops import pallas_kernels  # noqa: F401
     pallas_kernels.register_all(register, StrategySpec, Prepared)
+    from spmv_scpa_tpu.ops import xpose  # noqa: F401
+    xpose.register_xpose(register, StrategySpec, Prepared)
