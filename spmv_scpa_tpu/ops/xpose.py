@@ -107,9 +107,8 @@ def _mirror_kernel(s_ref, s0_ref, s1_ref, s2_ref, s3_ref, sel_ref,
     one TLG (sublane gather within a 128x128 tile) per source window
     (up to 4, scalar-prefetched via msw) + a sublane select."""
     import jax.numpy as jnp
-    idx = jnp.broadcast_to(
-        sub_ref[...].astype(jnp.int32).T, (BC, BC))
-    sel = jnp.broadcast_to(sel_ref[...].astype(jnp.int32).T, (BC, BC))
+    idx = jnp.broadcast_to(sub_ref[0].astype(jnp.int32).T, (BC, BC))
+    sel = jnp.broadcast_to(sel_ref[0].astype(jnp.int32).T, (BC, BC))
     out = _tlg(s0_ref[...], idx)
     for q, r in enumerate((s1_ref, s2_ref, s3_ref), start=1):
         out = jnp.where(sel == q, _tlg(r[...], idx), out)
@@ -142,9 +141,11 @@ def build_xpose_fns(plan: XposePlan, dtype=None, interpret=False):
                 grid=(p.NWm,),
                 in_specs=[
                     _src(0), _src(1), _src(2), _src(3),
-                    pl.BlockSpec((1, BC), lambda i, s: (i, 0),
+                    # (NWm, 1, BC) so the trailing block dims span the
+                    # array (Mosaic rejects a (1, 128) sublane block)
+                    pl.BlockSpec((1, 1, BC), lambda i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),   # mir_sel
-                    pl.BlockSpec((1, BC), lambda i, s: (i, 0),
+                    pl.BlockSpec((1, 1, BC), lambda i, s: (i, 0, 0),
                                  memory_space=pltpu.VMEM),   # mir_sub
                 ],
                 out_specs=pl.BlockSpec((BC, BC), lambda i, s: (i, 0),
@@ -216,8 +217,8 @@ def build_xpose_fns(plan: XposePlan, dtype=None, interpret=False):
         dev(jnp.asarray(p.rpre2)), dev(jnp.asarray(p.ys2)),
         dev(jnp.asarray(p.r3y2)),
         dev(jnp.asarray(p.msw)),
-        dev(jnp.asarray(p.mir_sel)),
-        dev(jnp.asarray(p.mir_sub)),
+        dev(jnp.asarray(p.mir_sel)[:, None, :]),
+        dev(jnp.asarray(p.mir_sub)[:, None, :]),
         dev(jnp.asarray(p.v_row)),
         triu, e127, lts,
     )
