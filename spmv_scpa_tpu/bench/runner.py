@@ -120,7 +120,12 @@ def run_benchmarks(A: CSR, cfg: RunConfig) -> list[RowResult]:
                 continue
             if spec.spmm and name.endswith("-spmm"):
                 continue  # multi-vector strategies run in _run_spmm
-            chunks = cfg.chunks if spec.backend == "pallas" else (0,)
+            # xla strategies and non-tunable pallas ones (e.g.
+            # pallas-xpose, whose geometry is plan-derived) get one
+            # cell — re-planning per chunk would re-run a 5-20 s host
+            # plan for identical rows
+            chunks = (cfg.chunks if spec.backend == "pallas"
+                      and spec.tunable else (0,))
             seen_eff = set()   # effective (capped) chunks already logged
             for chunk in chunks:
                 r = None

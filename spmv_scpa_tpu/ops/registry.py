@@ -82,6 +82,9 @@ class StrategySpec:
     prepare: Callable[..., Prepared] = None
     spmm: bool = False                # supports multi-column x
     spmm_only: bool = False           # REQUIRES 2-D (n, cols) input
+    tunable: bool = True              # has the chunk tuning axis (the
+                                      # warps_per_block analog); False
+                                      # = one sweep cell per matrix
 
 
 _REGISTRY: dict[str, StrategySpec] = {}
@@ -122,7 +125,8 @@ def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
     matching y column is returned, so every ``list_strategies()`` entry
     is drivable through this one entry point.
     """
-    if strategy == "auto":
+    auto = strategy == "auto"
+    if auto:
         strategy = pick_auto(A)
     spec = get_strategy(strategy)
     x = np.asarray(x)
@@ -131,7 +135,26 @@ def spmv(A: CSR, x, strategy: str = "auto", **params) -> np.ndarray:
         X = np.zeros((x.shape[0], params.get("cols", 8)), x.dtype)
         X[:, 0] = x
         x, squeeze = X, True
-    prep = spec.prepare(A, **params)
+    try:
+        prep = spec.prepare(A, **params)
+    except ValueError:
+        if not auto:
+            raise
+        # auto fallback chain: pick_auto uses cheap necessary-condition
+        # checks (e.g. quick_envelope_ok for pallas-xpose), so prepare
+        # may still refuse mid-plan — fall back rather than surface the
+        # refusal to a user who asked for "auto" (VERDICT r4 item 7).
+        for fb in ("pallas-hybrid", "pallas-pell", "xla-csr-segsum"):
+            if fb == strategy:
+                continue
+            try:
+                spec = get_strategy(fb)
+                prep = spec.prepare(A, **params)
+                break
+            except ValueError:
+                continue
+        else:
+            raise
     y = np.asarray(prep.fn(x), dtype=np.float64)
     return y[:, 0] if squeeze else y
 
@@ -165,7 +188,21 @@ def pick_auto(A: CSR) -> str:
     0.76 us dense vs 1.7-9.4 us sparse; mhda416-ish 14.9 GF/s dense
     vs 5.2 best-sparse; by olm1000-ish (1M dense elements) the
     hybrid already wins. Matches the reference's launch-bound rows
-    (cuda_best_csr_hll.png, ~0-2 GF/s on cage4/olm1000/west2021)."""
+    (cuda_best_csr_hll.png, ~0-2 GF/s on cage4/olm1000/west2021).
+
+    Scattered short-row regime (round 5): ``pallas-xpose`` (the
+    static-routed transpose) wins when rows are too short to amortize
+    the hybrid's lane-slot padding — measured on v5e
+    (docs/PERF_LOG.md round 5): webbase archetype (3.1 nnz/row,
+    80% local) xpose 6.21 vs hybrid 1.96 GF/s; amazon archetype
+    (3.8-4.7 nnz/row, tight locality + hubs) hybrid 6.91 vs xpose
+    5.42. Both archetypes sit at locality ~0.82-0.84, so the measured
+    discriminator is row length: truly banded (locality ~1) or
+    locality >= 0.5 with >= 3 nnz/row -> hybrid (enough work per row
+    to amortize lane-slot padding); otherwise xpose when the cheap
+    envelope check passes. quick_envelope_ok is a necessary condition
+    only — spmv()'s auto path keeps a fallback chain for mid-plan
+    rejections."""
     from spmv_scpa_tpu.utils.platform import is_tpu
     if not is_tpu():
         return "xla-csr-segsum"
@@ -175,10 +212,17 @@ def pick_auto(A: CSR) -> str:
         # resident-x bound of the hybrid (lane_ell.X_VMEM_BUDGET):
         # ~2.5M padded columns/rows of f32
         g_pad = -(-A.m // 128)
-        if (g_pad + 65) * 128 * 4 <= 10 << 20 and A.n <= (10 << 20) // 4:
+        fits = ((g_pad + 65) * 128 * 4 <= 10 << 20
+                and A.n <= (10 << 20) // 4)
+        if fits:
+            avg = A.nnz / max(A.m, 1)
             d = np.abs(A.ja.astype(np.int64) - A.row_ids())
-            if float(np.mean(d <= 4096)) >= 0.5:
+            loc = float(np.mean(d <= 4096))
+            if loc >= 0.98 or (loc >= 0.5 and avg >= 3.0):
                 return "pallas-hybrid"
+        from spmv_scpa_tpu.ops.xpose_plan import quick_envelope_ok
+        if quick_envelope_ok(A):
+            return "pallas-xpose"
     return "pallas-pell"
 
 

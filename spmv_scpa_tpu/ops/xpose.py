@@ -36,10 +36,15 @@ import functools
 
 import numpy as np
 
-from spmv_scpa_tpu.ops.xpose_plan import BC, CCAP, XposePlan, plan_xpose
+from spmv_scpa_tpu.ops.xpose_plan import (BC, CCAP, X_EXT_BUDGET,
+                                          XposePlan, plan_xpose)
 
 G_SUB = 8                    # logical sub-steps per grid step
-X_VMEM_CAP = 96 << 20        # x_ext window-table VMEM residency cap
+# x_ext window-table VMEM residency cap, DERIVED from the planner's
+# X_EXT_BUDGET (which it enforces via _reject, so callers fall back)
+# plus the worst-case G_SUB mirror-window padding this module adds —
+# the two bounds cannot drift apart (ADVICE r4 item 1).
+X_VMEM_CAP = X_EXT_BUDGET + (G_SUB - 1) * BC * BC * 4
 
 
 def _tlg(win, sub):
@@ -338,12 +343,22 @@ def prepare_xpose(A, dtype=None, interpret=None, Prepared=None, **_):
             "(concentrated (window, block) cells, >4M entries, or a "
             ">16k-entry row); use pallas-hybrid/pallas-pell")
     raw, args = build_xpose_fns(plan, dtype=dtype, interpret=interpret)
-    hbm = plan.plan_bytes + 2 * plan.J1 * plan.K1p * BC * 4
+    # Honest per-call HBM traffic (ADVICE r4 item 3): routing planes
+    # (S3's padded to K1p blocks), the mid write+read around the S2
+    # transpose, the (K1p, 64, 128) S3 staging, and the VMEM-resident
+    # x window table (read from HBM once per call).
+    NWmp = -(-plan.NWm // G_SUB) * G_SUB if plan.NWm else 0
+    x_bytes = (plan.NR // BC + NWmp) * BC * BC * 4
+    hbm = (plan.plan_bytes
+           + 8 * (plan.K1p - plan.B2) * BC * BC        # S3 plane pad
+           + 2 * plan.J1 * plan.K1p * BC * 4           # mid w+r
+           + plan.K1p * 64 * BC * 4                    # S3 staging
+           + x_bytes)
     return Prepared(
         "pallas-xpose", A.name, bind(raw, args), on_device=True,
         nnz=A.nnz, raw=raw, args=args, hbm_bytes=int(hbm),
         meta={"J1": plan.J1, "B2": plan.B2, "W1": plan.W1,
-              "W3": plan.W3, "NWm": plan.NWm,
+              "W3": plan.W3, "NWm": plan.NWm, "x_bytes": int(x_bytes),
               "fill": A.nnz / max(plan.J1 * CCAP * BC, 1)})
 
 
@@ -353,4 +368,5 @@ def register_xpose(register, StrategySpec, Prepared):
         "cuda_csr.cu:145-178 (texture-cached x for scattered reads) "
         "rebuilt as a static-routed transpose: gather in column "
         "order, XLA block transpose, reduce in row order",
-        prepare=functools.partial(prepare_xpose, Prepared=Prepared)))
+        prepare=functools.partial(prepare_xpose, Prepared=Prepared),
+        tunable=False))  # geometry is plan-derived; no chunk axis

@@ -55,8 +55,13 @@ KEEP_MIN = 11000            # normal windows with fewer residual
                             # entries fold into the mirror stream
                             # (~0.7 of one step's 15748 capacity)
 MIR_MAX = 512               # mirror windows cap
-X_EXT_BUDGET = 64 << 20     # x_ext f32 cap (streamed per-window by
-                            # the S1 pipeline; this bounds HBM+build)
+X_EXT_BUDGET = 64 << 20     # x_ext f32 cap. Since the round-4 step
+                            # batching, x_ext sits WHOLE in VMEM as the
+                            # (NWin, 128, 128) window table, so this is
+                            # the de-facto VMEM residency bound for all
+                            # three kernels (ops/xpose.py X_VMEM_CAP is
+                            # derived from it), not just an HBM/build
+                            # bound.
 
 
 @dataclass
@@ -303,6 +308,32 @@ def _pick_b2(row_len, m, nnz, peak_step_demand, heavy_tot=0):
 
 REJECT_REASON = None        # set by plan_xpose on each None return
 PLAN_DEBUG = {}             # step-term diagnostics from the last plan
+
+
+def quick_envelope_ok(A) -> bool:
+    """Cheap (O(m)) necessary-condition check of the v1 planning
+    envelope, for ``pick_auto`` routing — a True here does NOT
+    guarantee ``plan_xpose`` succeeds (concentrated (window, block)
+    cells can still reject mid-plan; callers keep the hybrid/PELL
+    fallback), but a False is definitive. Bounds mirror the planner's
+    own constants so they cannot drift apart:
+
+    * total entries must fit J1_MAX steps of CCAP*BC slots;
+    * no row may exceed what SPLIT_CAP virtualization can absorb
+      (one virtual row per (group, chunk): a 16k-entry row splits
+      into ~143 virtual rows — past that B2 assignment degrades);
+    * m2 rows must fit B2_MAX out-blocks of 64*BC staging rows.
+    """
+    if A.nnz == 0 or A.m == 0:
+        return False
+    if A.nnz > J1_MAX * CCAP * BC:          # ~4.1M entries
+        return False
+    max_row = int(np.diff(A.irp).max(initial=0))
+    if max_row > 16_384:
+        return False
+    if A.m > B2_MAX * ROWS_PER_BLK:         # 248 * 8192 ~ 2.03M rows
+        return False
+    return True
 
 
 def _reject(why):

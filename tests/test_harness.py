@@ -135,3 +135,58 @@ def test_pick_auto_routes_tiny_to_dense(monkeypatch):
     assert registry.pick_auto(tiny) == "xla-dense"
     assert registry.pick_auto(mid) == "xla-dense"
     assert registry.pick_auto(big) != "xla-dense"
+
+
+def test_pick_auto_scattered_routes_to_xpose(monkeypatch):
+    """Measured round-5 rule (docs/PERF_LOG.md): short scattered rows
+    (webbase archetype: 3.1 nnz/row) -> pallas-xpose (6.21 vs hybrid
+    1.96 GF/s on chip); amazon-class (4.7 nnz/row, locality 0.5+) and
+    banded/stencil stay on pallas-hybrid; past the xpose envelope
+    (>4.1M entries, no locality) -> pallas-pell."""
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops import registry
+    from spmv_scpa_tpu.utils import platform
+
+    monkeypatch.setattr(platform, "is_tpu", lambda: True)
+
+    web = synth.webbase_csr(m=120_000, seed=7)
+    # full-size: the measured archetype (4.7 nnz/row; smaller m thins
+    # the copying model below the 4-nnz/row routing threshold)
+    ama = synth.amazon_csr(m=262_000, seed=6)
+    band = synth.banded_csr(8000, row_nnz=9, bandwidth=48, seed=1)
+    power = synth.powerlaw_csr(m=100_000, n=100_000, avg_nnz=60,
+                               seed=5)      # 6M nnz > envelope
+    assert registry.pick_auto(web) == "pallas-xpose"
+    assert registry.pick_auto(ama) == "pallas-hybrid"
+    assert registry.pick_auto(band) == "pallas-hybrid"
+    assert registry.pick_auto(power) == "pallas-pell"
+
+
+def test_spmv_auto_falls_back_when_xpose_refuses(monkeypatch):
+    """pick_auto's envelope check is necessary-not-sufficient: when
+    prepare_xpose still refuses mid-plan, spmv(auto) must fall back
+    (VERDICT r4 item 7), never surface the ValueError."""
+    import numpy as np
+
+    from spmv_scpa_tpu import testing as synth
+    from spmv_scpa_tpu.ops import registry
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    from spmv_scpa_tpu.utils.vector import make_x
+
+    A = synth.webbase_csr(m=20_000, seed=3)
+    monkeypatch.setattr(registry, "pick_auto",
+                        lambda _A: "pallas-xpose")
+    spec = registry.get_strategy("pallas-xpose")
+
+    def refuse(_A, **_kw):
+        raise ValueError("synthetic mid-plan rejection")
+
+    import dataclasses
+    registry._REGISTRY["pallas-xpose"] = dataclasses.replace(
+        spec, prepare=refuse)
+    try:
+        x = make_x(A.n)
+        y = registry.spmv(A, x, "auto")
+        np.testing.assert_allclose(y, spmv_oracle(A, x), rtol=1e-4)
+    finally:
+        registry._REGISTRY["pallas-xpose"] = spec
