@@ -36,12 +36,93 @@ SYNTH_SUITE = [
 ]
 
 
+def compare(specs: list[str], strategies: list[str], out: str | None,
+            debug: bool = True) -> int:
+    """Per-archetype strategy comparison — ONE best cell per strategy
+    per matrix, validated, printed as a markdown table (the PERF_LOG
+    measurement flow of scripts/tpu_xpose_r4.py / tpu_measure_r3.py,
+    graduated into the official entry point per VERDICT r4 item 8).
+
+    ``auto`` as a strategy name times whatever ``pick_auto`` routes to
+    (labelled ``auto->%s``), so the table shows both the per-strategy
+    frontier and where the router actually lands.
+    """
+    import numpy as np
+
+    from spmv_scpa_tpu.bench.timing import time_prepared, warm_compiler
+    from spmv_scpa_tpu.cli import parse_synth_spec
+    from spmv_scpa_tpu.ops.oracle import spmv_oracle
+    from spmv_scpa_tpu.ops.registry import get_strategy, pick_auto
+    from spmv_scpa_tpu.utils.platform import is_tpu
+    from spmv_scpa_tpu.utils.validation import validate_result
+    from spmv_scpa_tpu.utils.vector import make_x
+
+    if is_tpu():
+        warm_compiler()
+    lines = ["| matrix | strategy | ms | GF/s | rel_err |",
+             "|---|---|---|---|---|"]
+    failures = 0
+    for spec in specs:
+        if spec.startswith("synth:"):
+            A = parse_synth_spec(spec)
+        else:
+            from spmv_scpa_tpu.io.cache import load_csr_cached
+            A = load_csr_cached(spec)
+        x = make_x(A.n)
+        gold = spmv_oracle(A, x) if debug else None
+        print(f"=== {A.name} ({A.m}x{A.n}, nnz={A.nnz}) ===", flush=True)
+        for name in strategies:
+            label = name
+            try:
+                if name == "auto":
+                    routed = pick_auto(A)
+                    label = f"auto->{routed}"
+                    s = get_strategy(routed)
+                else:
+                    s = get_strategy(name)
+                prep = s.prepare(A)
+                r = time_prepared(prep, x)
+                rel = (validate_result(gold, r.data, what=label)
+                       if debug else float("nan"))
+            except ValueError as e:
+                print(f"  {label:24s} refused: {e}", flush=True)
+                lines.append(f"| {A.name} | {label} | — | — | refused |")
+                continue
+            except Exception as e:
+                failures += 1
+                print(f"  {label:24s} FAILED: {type(e).__name__}: {e}",
+                      flush=True)
+                lines.append(f"| {A.name} | {label} | — | — | "
+                             f"{type(e).__name__} |")
+                continue
+            print(f"  {label:24s} {r.duration_ms:10.4f} ms "
+                  f"{r.gflops:8.2f} GF/s", flush=True)
+            lines.append(f"| {A.name} | {label} | {r.duration_ms:.4f} "
+                         f"| {r.gflops:.2f} | "
+                         f"{rel:.2e} |".replace("nan", "—"))
+    table = "\n".join(lines)
+    print(table)
+    if out:
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, "compare.md"), "a") as f:
+            f.write(table + "\n")
+    return 1 if failures else 0
+
+
+COMPARE_STRATEGIES = ["auto", "pallas-hybrid", "pallas-pell",
+                      "pallas-xpose", "pallas-chips", "xla-csr-segsum"]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("-d", "--matrices-dir", default=None,
                     help="directory of .mtx files")
     ap.add_argument("--synth-suite", action="store_true",
                     help="run the built-in synthetic archetype suite")
+    ap.add_argument("--compare", action="store_true",
+                    help="one validated best cell per strategy per "
+                         "matrix, as a markdown table (the PERF_LOG "
+                         "archetype-comparison flow)")
     ap.add_argument("-o", "--out", required=True, help="results dir")
     ap.add_argument("-i", "--iterations", type=int, default=3)
     ap.add_argument("--debug", action="store_true",
@@ -65,6 +146,11 @@ def main() -> int:
         specs += sorted(glob.glob(os.path.join(args.matrices_dir, "*.mtx")))
     if args.synth_suite or not specs:
         specs += SYNTH_SUITE
+
+    if args.compare:
+        strategies = (args.bench.split(",") if args.bench
+                      else COMPARE_STRATEGIES)
+        return compare(specs, strategies, args.out, debug=True)
 
     failures = 0
     for spec in specs:

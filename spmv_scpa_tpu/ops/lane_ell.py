@@ -584,6 +584,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
                             dyn_strips: bool | str = False,
                             dyn_k: int = 4,
                             ov_max: int = 8, ov_budget: int = 64,
+                    aug: bool = True, undrop_min: int = 512,
                             ded_bytes: int = 32 << 20,
                             ded_max: int = 4, max_strips: int = 4,
                             tail_xla_max: int = 32768,
@@ -879,34 +880,124 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             # planes in the same pass); dynamic planes accept only
             # their STATIC members (per-step local slots can't host
             # arbitrary relocations)
-            kp = [np.flatnonzero(keep[:, w]) for w in range(nw)]
-            kp_size = np.array([p.size for p in kp])
-            kp_len = np.maximum(kp_size, 1)
-            kp_tab = np.zeros((nw, int(kp_len.max(initial=1))), np.int64)
-            for w, p in enumerate(kp):
-                if p.size:
-                    kp_tab[w, :p.size] = p
-            n_pass = int(min(kp_len.max(initial=1), 24))
-            for t in range(n_pass):
-                if not unpl.size:
-                    break
-                w_u = strip_all[unpl]
-                slot = (rows[unpl] + t) % kp_len[w_u]
-                q2 = kp_tab[w_u, slot]
-                oki = np.flatnonzero(kp_size[w_u] > 0)
-                if not oki.size:
-                    break
-                key = rows[unpl[oki]] * (Q + 1) + q2[oki]
-                free = ~(_in_sorted(key, base_keys)
-                         | _in_sorted(key, extra_keys))
-                oki, key = oki[free], key[free]
-                if not oki.size:
-                    continue
-                _, first = np.unique(key, return_index=True)
-                oki, key = oki[first], key[first]
-                plane[unpl[oki]] = q2[oki]
-                extra_keys = np.sort(np.concatenate([extra_keys, key]))
-                unpl = np.delete(unpl, oki)
+            def _reloc(unpl, extra_keys):
+                kp = [np.flatnonzero(keep[:, w]) for w in range(nw)]
+                kp_size = np.array([p.size for p in kp])
+                kp_len = np.maximum(kp_size, 1)
+                kp_tab = np.zeros((nw, int(kp_len.max(initial=1))),
+                                  np.int64)
+                for w, p in enumerate(kp):
+                    if p.size:
+                        kp_tab[w, :p.size] = p
+                n_pass = int(min(kp_len.max(initial=1), 24))
+                for t in range(n_pass):
+                    if not unpl.size:
+                        break
+                    w_u = strip_all[unpl]
+                    slot = (rows[unpl] + t) % kp_len[w_u]
+                    q2 = kp_tab[w_u, slot]
+                    oki = np.flatnonzero(kp_size[w_u] > 0)
+                    if not oki.size:
+                        break
+                    key = rows[unpl[oki]] * (Q + 1) + q2[oki]
+                    free = ~(_in_sorted(key, base_keys)
+                             | _in_sorted(key, extra_keys))
+                    oki, key = oki[free], key[free]
+                    if not oki.size:
+                        continue
+                    _, first = np.unique(key, return_index=True)
+                    oki, key = oki[first], key[first]
+                    plane[unpl[oki]] = q2[oki]
+                    extra_keys = np.sort(np.concatenate([extra_keys,
+                                                         key]))
+                    unpl = np.delete(unpl, oki)
+                return unpl, extra_keys
+
+            unpl, extra_keys = _reloc(unpl, extra_keys)
+
+            # ---- relocation-target augmentation (round 5) -----------
+            # Flagship diagnosis (docs/PERF_LOG.md round 5): leftovers
+            # concentrate in strips whose keeper planes' row slots are
+            # FULL (stencil strip 2: 10 mid-band keepers, 36k
+            # leftovers), while trailing planes — where short rows
+            # leave (row, q) gaps — don't keep the strip. Adding the
+            # starved strip to high-free-capacity planes costs one
+            # select pass each (SEL_B*G_pad*BC ~ 0.76 MB-equiv) and
+            # lets relocation drain leftovers that would otherwise
+            # burn near-empty overflow planes (measured: 16 planes at
+            # fill 0.008 = 21% of the core stream). Marginal gate:
+            # a keeper is added only while >= 1024 leftovers could
+            # route to it (1024 entries ~ 1/3 ov plane ~ one pass,
+            # break-even).
+            if aug and unpl.size > 2048:
+                occ = np.bincount(plane[plane >= 0], minlength=Q)[:Q]
+                free_q = m - occ
+                w_left = strip_all[unpl]
+                mass = np.bincount(w_left, minlength=nw)
+                added = 0
+                for w in np.argsort(-mass):
+                    if mass[w] < 2048:
+                        continue
+                    # a row with k same-strip leftovers needs k
+                    # DISTINCT keeper planes with a free slot in that
+                    # row — size the augmentation by the per-(row)
+                    # rank tiers (measured flagship: multiplicity up
+                    # to 24; one plane absorbs one entry per row)
+                    lw = unpl[w_left == w]
+                    rk = np.bincount(
+                        np.unique(rows[lw], return_inverse=True)[1])
+                    tier_sz = np.bincount(
+                        np.concatenate([np.arange(k) for k in rk]))
+                    n_add = int(np.sum(tier_sz >= 1024))
+                    # int8-aware target order: planes already at >= 3
+                    # strips are int16 anyway (a new strip is free
+                    # byte-wise), 1-strip planes stay int8 at 2 —
+                    # avoid flipping 2-strip (int8) planes to int16
+                    # (+1 B/slot = +G_pad*BC*steps bytes)
+                    n_aug = keep[:Q].sum(axis=1)
+                    cand = sorted(
+                        (q for q in range(Q)
+                         if not keep[q, w] and q not in dyn_k_of
+                         and free_q[q] >= 1024),
+                        key=lambda q: (0 if n_aug[q] >= 3 else
+                                       1 if n_aug[q] <= 1 else 2,
+                                       -free_q[q]))
+                    for q in cand[:n_add]:
+                        if added >= 24:
+                            break
+                        keep[q, w] = True
+                        added += 1
+                if added:
+                    unpl, extra_keys = _reloc(unpl, extra_keys)
+
+            # ---- post-relocation undrop (round 5) -------------------
+            # What remains sits in FULL rows (demand > free slots —
+            # flagship: 12.5k entries, per-row same-strip multiplicity
+            # up to 24) and can never relocate. Returning a leftover
+            # GROUP to its native (plane, strip) costs one select pass
+            # (SEL_B*G_pad*BC ~ 0.76 MB-eq) vs ~2-3 kB-eq/entry on the
+            # near-empty overflow planes — undrop groups >= 512
+            # entries whose native slot wasn't taken by a relocation.
+            if unpl.size and undrop_min:
+                gkey = sl[unpl] * np.int64(nw) + strip_all[unpl]
+                skey = rows[unpl] * (Q + 1) + sl[unpl]
+                taken = _in_sorted(skey, extra_keys)
+                u_g, inv_g, c_g = np.unique(
+                    gkey, return_inverse=True, return_counts=True)
+                # a (plane, strip) pass that PLACED entries already
+                # pay for makes undropping into it free at any size
+                pm = plane >= 0
+                present = np.unique(plane[pm] * np.int64(nw)
+                                    + strip_all[pm])
+                free_pass = _in_sorted(gkey, present)
+                # free_pass joins are free at any size; a NEW pass
+                # costs ~1.5 us on chip (measured round 5: 12 extra
+                # passes ate the whole 18 MB byte cut) — only groups
+                # >= undrop_min entries (~2.9 kB-eq each on the ov
+                # planes) buy one
+                back = ((c_g[inv_g] >= undrop_min) | free_pass) & ~taken
+                plane[unpl[back]] = sl[unpl[back]]
+                unpl = unpl[~back]
         n_reloc = n_demoted - int(unpl.size)
 
     # Leftovers whose row is ALREADY heavy (rank-spilled past Q) ride
@@ -936,6 +1027,12 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
     G_tot0 = max(1, -(-m // BC))
     ov_budget = min(ov_budget,
                     max(0, int(ded_bytes // (G_tot0 * BC * 6))))
+    # a TINY residue rides the XLA tail (~30 ns/entry: 384 entries =
+    # ~12 us-eq) instead of spawning near-empty ded/catch planes
+    # (measured flagship: 288 leftovers cost 5 planes = 11.3 MB =
+    # ~15 us of padding DMA)
+    if aug and unpl.size <= 384:
+        unpl = np.empty(0, np.int64)
     if unpl.size:
         w_u = strip_all[unpl]
         key = w_u * np.int64(m + 1) + rows[unpl]
@@ -1056,6 +1153,9 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
             n_demoted = n_reloc = 0
             dyn_k_of, dyn_keep = {}, {}
             dyn_pos, dyn_tab = {}, {}
+
+    # overflow-plane occupancy BEFORE the idx8 remap permutes ids
+    n_ov_nnz = int(np.sum(plane >= Q)) if nnz else 0
 
     # ---- pack plane-major arrays ------------------------------------
     # Per-plane static strip sets come first: the idx8 partition
@@ -1506,6 +1606,7 @@ def prepare_lane_ell_hybrid(A: CSR, dtype=jnp.float32,
               "dyn_planes": len(dyn_k_of),
               "dyn_k": max(dyn_k_of.values(), default=0),
               "demoted": n_demoted, "relocated": n_reloc,
+              "ov_nnz": n_ov_nnz,
               "fill": float(np.sum(take)) / max(G_pad * QT * BC, 1),
               "tail_nnz": tail_nnz,
               "tail_kind": (None if not tail_nnz else
