@@ -37,6 +37,10 @@ CANDIDATES = [
     # ~1.16x fewer core bytes on the flagship). First on-chip Mosaic
     # compile of the int8 layout happens HERE — the per-candidate
     # try/except falls back to the plain hybrid if it doesn't compile.
+    # round-5 packing: relocation-target augmentation + undrop_min=2048
+    # (post-relocation group undrop) measured 163.09 GF/s vs 154.2
+    # same-session baseline on this chip (docs/PERF_LOG.md round 5).
+    ("pallas-hybrid", {"idx8": True, "undrop_min": 2048}),
     ("pallas-hybrid", {"idx8": True}),
     ("pallas-hybrid", {}),
     ("pallas-pell", {"chunk": 128, "quantum": 16, "window_h": 48,

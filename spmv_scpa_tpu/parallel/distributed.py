@@ -311,8 +311,11 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     shrinks each shard's tail into the resident regime, and every
     per-shard difference is data (pad_resident_plan) — with the
     zero-scatter panel merge into the local y; tails below ~2k entries
-    (or ones that don't fit) keep the padded XLA segment-sum
-    (``tail_kind`` forces a route).
+    (or ones that don't fit) keep the padded XLA segment-sum.
+    ``tail_kind`` forces a route: ``"chips"`` (resident pipelines,
+    error if any shard busts the caps), ``"chips-split"`` (the round-4
+    windowed-x + popularity-split plans, even when the resident route
+    would fit — the webbase-class path), or ``"auto"``.
     """
     import jax
     import jax.numpy as jnp
@@ -453,14 +456,15 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     # negligible below a few k entries.
     tail_nnz_tot = int(sum(c.trows.size for c in cores))
     cplans = None
-    if tail_kind in ("auto", "chips") and tail_nnz_tot >= (
+    if tail_kind in ("auto", "chips", "chips-split") and tail_nnz_tot >= (
             2048 if tail_kind == "auto" else 1):
-        cplans = _plan_sharded_chips(cores, h_rows, A.n)
-    if tail_kind == "chips" and cplans is None:
+        cplans = _plan_sharded_chips(
+            cores, h_rows, A.n, split_only=(tail_kind == "chips-split"))
+    if tail_kind in ("chips", "chips-split") and cplans is None:
         raise ValueError(
-            "tail_kind='chips' forced but the tail cannot ride the "
-            f"per-shard resident pipeline (tail_nnz={tail_nnz_tot}: "
-            "empty, or a shard busts the resident-hot/VPU budgets)")
+            f"tail_kind={tail_kind!r} forced but the tail cannot ride "
+            f"the per-shard pipeline (tail_nnz={tail_nnz_tot}: empty, "
+            "or a shard busts the resident-hot/VPU budgets)")
     use_chips = cplans is not None
     if not use_chips:
         t_max = max(1, max(c.trows.size for c in cores))
@@ -691,7 +695,8 @@ def prepare_row_sharded_hybrid(A: CSR, mesh=None,
     out.args = tuple(stack)
     out.meta = {"slots": QT, "loc_w": loc_w, "chunk": chunk,
                 "tail_nnz": tail_nnz_tot,
-                "tail_kind": "chips" if use_chips else "xla",
+                "tail_kind": (("chips-split" if split_mode else "chips")
+                              if use_chips else "xla"),
                 "panel_merge": bool(use_chips and use_merge),
                 "strips": S, "idx8_planes": n8,
                 "ext": use_ext_d,

@@ -316,4 +316,21 @@ def test_row_sharded_hybrid_split_chips_tail(n_dev, monkeypatch):
     x = make_x(A.n)
     validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
                     what=f"dist-hybrid split-chips n={n_dev}")
-    assert dist.meta["tail_kind"] == "chips"
+    assert dist.meta["tail_kind"] == "chips-split"
+
+
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_row_sharded_hybrid_tail_kind_chips_split_forced(n_dev):
+    """Round-5: ``tail_kind="chips-split"`` forces the split route
+    through the public API (no monkeypatch) — the same path
+    ``__graft_entry__.dryrun_multichip`` exercises for the driver."""
+    from spmv_scpa_tpu.parallel.distributed import \
+        prepare_row_sharded_hybrid
+    A = synth.webbase_csr(m=20000, seed=5)
+    dist = prepare_row_sharded_hybrid(A, mesh=_cpu_mesh(n_dev),
+                                      interpret=True,
+                                      tail_kind="chips-split")
+    x = make_x(A.n)
+    validate_result(spmv_oracle(A, x), np.asarray(dist.fn(x)),
+                    what=f"dist-hybrid forced-split n={n_dev}")
+    assert dist.meta["tail_kind"] == "chips-split"
