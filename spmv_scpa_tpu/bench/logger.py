@@ -37,7 +37,10 @@ STRATEGY_IDS = {
     "pallas-hybrid": 11,
     "pallas-hybrid-df64": 12,
     "pallas-chips": 13,
-    "pallas-hybrid-spmm": 14,
+    # id 14 retired: it was reserved for a lane-ELL-layout SpMM
+    # ("pallas-hybrid-spmm") that was never built — SpMM ships as
+    # pallas-bcsr-spmm (id 7, matrix-stream-bound; docs/PERF_LOG.md).
+    # The id is not reused so old and new CSVs never collide.
     "pallas-xpose": 15,
 }
 
