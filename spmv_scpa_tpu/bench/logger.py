@@ -42,6 +42,7 @@ STRATEGY_IDS = {
     # pallas-bcsr-spmm (id 7, matrix-stream-bound; docs/PERF_LOG.md).
     # The id is not reused so old and new CSVs never collide.
     "pallas-xpose": 15,
+    "pallas-nearfar": 16,
 }
 
 _HEADERS = {

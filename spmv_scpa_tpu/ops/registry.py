@@ -395,3 +395,5 @@ def _ensure_builtin():
     pallas_kernels.register_all(register, StrategySpec, Prepared)
     from spmv_scpa_tpu.ops import xpose  # noqa: F401
     xpose.register_xpose(register, StrategySpec, Prepared)
+    from spmv_scpa_tpu.ops import nearfar  # noqa: F401
+    nearfar.register_nearfar(register, StrategySpec, Prepared)
