@@ -110,7 +110,8 @@ def compare(specs: list[str], strategies: list[str], out: str | None,
 
 
 COMPARE_STRATEGIES = ["auto", "pallas-hybrid", "pallas-pell",
-                      "pallas-xpose", "pallas-chips", "xla-csr-segsum"]
+                      "pallas-xpose", "pallas-nearfar", "pallas-chips",
+                      "xla-csr-segsum"]
 
 
 def main() -> int:
